@@ -1,0 +1,24 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real TPU hardware is a single (tunneled) chip here; tests force the CPU
+backend — eager dispatch over the tunnel is orders of magnitude slower —
+and multi-chip sharding paths are validated on host-platform virtual
+devices, per the multi-device test strategy SURVEY.md §4 calls for.
+
+NOTE: the environment pins JAX_PLATFORMS=axon via a site hook, so the
+platform must be overridden through jax.config, not the env var.
+"""
+
+import os
+
+# Must be set before the JAX backend initializes.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
