@@ -124,29 +124,36 @@ def from_matrix(m: jnp.ndarray) -> jnp.ndarray:
 def from_rotvec(rv: jnp.ndarray) -> jnp.ndarray:
     """Rotation vector (axis * angle) -> unit quaternion.
 
-    Taylor-safe near zero angle.
+    Taylor-safe near zero angle, including under differentiation: the
+    norm is computed from a clamped squared norm so the unselected
+    `where` branch never produces a NaN gradient (the d‖v‖/dv = v/‖v‖
+    singularity at v = 0).
     """
-    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    angle_sq = jnp.sum(rv * rv, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(angle_sq, _EPS))
     half = 0.5 * angle
-    small = angle < 1e-6
+    small = angle_sq < 1e-12
     # sin(half)/angle, stable as angle->0: 0.5 - angle^2/48 + ...
-    k = jnp.where(small, 0.5 - angle * angle / 48.0,
-                  jnp.sin(half) / jnp.maximum(angle, _EPS))
-    w = jnp.cos(half)
+    k = jnp.where(small, 0.5 - angle_sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - angle_sq / 8.0, jnp.cos(half))
     return jnp.concatenate([w, rv * k], axis=-1)
 
 
 def to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion -> rotation vector (axis * angle), Taylor-safe."""
+    """Unit quaternion -> rotation vector (axis * angle).
+
+    Taylor-safe near identity, including under differentiation (see
+    `from_rotvec`).
+    """
     q = jnp.where(q[..., :1] < 0, -q, q)  # shortest arc
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    sin_half = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    sin_sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    sin_half = jnp.sqrt(jnp.maximum(sin_sq, _EPS))
     angle = 2.0 * jnp.arctan2(sin_half, w)
-    small = sin_half < 1e-6
+    small = sin_sq < 1e-12
     # angle / sin(half) ~ 2 + angle^2/12 as angle->0
-    k = jnp.where(small, 2.0 + angle * angle / 12.0,
-                  angle / jnp.maximum(sin_half, _EPS))
+    k = jnp.where(small, 2.0 + sin_sq / 3.0, angle / sin_half)
     return v * k
 
 

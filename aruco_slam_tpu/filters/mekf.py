@@ -1,0 +1,405 @@
+"""Fused multiplicative-error-state Kalman filter (MEKF) for marker SLAM.
+
+TPU-native re-design of the reference's two EKF backends
+(reference filters/extended_kalman_filter.py — point landmarks,
+reference filters/ekf_with_rotations.py — full-pose landmarks):
+
+* The state has **fixed capacity**: `capacity` landmark slots with an
+  ``active`` mask. Marker id == slot index (ArUco DICT_5X5_50 ids are
+  0..49), so "adding a marker" (reference
+  extended_kalman_filter.py:239-290, an O(n²) numpy reallocation) is a
+  masked write — no dynamic shapes, everything jits once.
+* Per-frame predict + activate + update is ONE jitted function of
+  dense, statically-shaped arrays; whole sequences run under
+  ``lax.scan`` (`mekf_scan`) so XLA pipelines the per-frame dense
+  algebra back-to-back on device.
+* The innovation solve is a dense Cholesky (`cho_factor/cho_solve`)
+  instead of scipy SuperLU spsolve (reference
+  extended_kalman_filter.py:129): at these block sizes dense
+  MXU-friendly linear algebra beats any sparse path on TPU.
+* Measurement Jacobians come from `jax.jacfwd` of the measurement
+  function at trace time — the role the reference fills with SymPy
+  codegen + a dill cache (reference ekf_with_rotations.py:337-427) —
+  and fuse into the surrounding XLA computation.
+
+Error-state covariance layout (a deliberate redesign of the
+reference's): the reference keeps a covariance over
+[xyz, qw qx qy qz, ex ey ez] per pose block (reference
+filters/base_filter.py:25-31), which represents orientation
+uncertainty twice (quaternion components AND the multiplicative error
+vector). We keep quaternions in the *state* but track covariance only
+over the minimal error state:
+
+    camera block:  6 dims  [δt (3), δθ (3)]
+    landmark j:    3 dims  [δt]          (point mode)
+                   6 dims  [δt, δθ]      (rotation mode)
+
+Frame convention: the state quaternion ``q`` is the camera-to-world
+rotation, so h(x) = R(q)ᵀ (x_l − t) is the landmark in the camera
+frame, and landmark initialization is x_l = R(q) t_cl + t.  (The
+reference uses the same h — extended_kalman_filter.py:317-325 — but
+its add_marker at :264-272 applies the INVERSE rotation; its own TODO
+at :260-262 flags this. We fix it rather than replicate it.)
+
+Landmark initialization is the *consistent* EKF-SLAM augmentation
+P ← G P Gᵀ + B R Bᵀ (cross-covariance between the new landmark and the
+camera), not the reference's zeroed cross terms + fixed diagonal
+(reference extended_kalman_filter.py:276-290) — the latter is
+overconfident and destabilizes the filter when landmarks appear
+mid-sequence under tight measurement noise. Set
+``consistent_init=False`` for the reference's behavior.
+
+Known reference bugs intentionally not replicated:
+* extended_kalman_filter.py:143-149 parses the scalar-first state
+  quaternion as scalar-last during the multiplicative update.
+* quaternion measurement residuals ignore the double cover; we sign-
+  align the observed quaternion to the prediction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from aruco_slam_tpu.core import quaternion as quat
+
+CAM_EDIMS = 6  # camera error dims: [δt, δθ]
+_DT = slice(0, 3)
+_DTH = slice(3, 6)
+
+
+class MekfConfig(NamedTuple):
+    """Filter tuning. Noise defaults equal the reference's module
+    constants (reference extended_kalman_filter.py:21-27,
+    ekf_with_rotations.py:23-31)."""
+
+    capacity: int = 64
+    with_rotations: bool = False
+    initial_camera_uncertainty: float = 0.1
+    initial_landmark_uncertainty: float = 0.7
+    r_uncertainty: float = 0.9
+    q_uncertainty_cam: float = 0.3
+    q_error_uncertainty_cam: float = 0.5
+    q_uncertainty_lm: float = 0.01
+    joseph_form: bool = True
+    consistent_init: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def lm_dims(self) -> int:
+        """Landmark state dims: [xyz] or [xyz, quat]."""
+        return 7 if self.with_rotations else 3
+
+    @property
+    def lm_edims(self) -> int:
+        """Landmark error dims: [δt] or [δt, δθ]."""
+        return 6 if self.with_rotations else 3
+
+    @property
+    def meas_dims(self) -> int:
+        return 7 if self.with_rotations else 3
+
+    @property
+    def err_dim(self) -> int:
+        return CAM_EDIMS + self.capacity * self.lm_edims
+
+
+class MekfState(NamedTuple):
+    """Filter state pytree (all statically shaped)."""
+
+    cam_t: jnp.ndarray  # (3,)
+    cam_q: jnp.ndarray  # (4,) wxyz, camera-to-world
+    lm: jnp.ndarray     # (C, 3) or (C, 7): [xyz] / [xyz, quat wxyz]
+    cov: jnp.ndarray    # (N, N) error-state covariance, N = err_dim
+    active: jnp.ndarray  # (C,) bool
+
+
+class FrameObservations(NamedTuple):
+    """One frame's marker observations, indexed by landmark slot.
+
+    ``t_cl``: marker position in the camera frame (C, 3) — the PnP tvec.
+    ``q_cl``: marker orientation in the camera frame (C, 4) wxyz.
+    ``mask``: (C,) bool — slot observed this frame.
+    """
+
+    t_cl: jnp.ndarray
+    q_cl: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
+    """Initial state: camera at given pose, no active landmarks."""
+    dt = cfg.dtype
+    cam_t = jnp.zeros(3, dt) if cam_t is None else jnp.asarray(cam_t, dt)
+    cam_q = quat.identity(dt) if cam_q is None else jnp.asarray(cam_q, dt)
+    lm = jnp.zeros((cfg.capacity, cfg.lm_dims), dt)
+    if cfg.with_rotations:
+        lm = lm.at[:, 3].set(1.0)  # identity quaternions
+    n = cfg.err_dim
+    diag = jnp.full((n,), cfg.initial_landmark_uncertainty, dt)
+    diag = diag.at[:CAM_EDIMS].set(cfg.initial_camera_uncertainty)
+    return MekfState(
+        cam_t=cam_t,
+        cam_q=cam_q,
+        lm=lm,
+        cov=jnp.diag(diag),
+        active=jnp.zeros(cfg.capacity, dtype=bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Measurement models as functions of the error state, linearized at 0.
+# ---------------------------------------------------------------------------
+
+def _perturb(q: jnp.ndarray, dth: jnp.ndarray) -> jnp.ndarray:
+    """Left-multiplicative rotation-vector perturbation dq(δθ) ⊗ q."""
+    dq = jnp.concatenate([jnp.ones_like(dth[..., :1]), 0.5 * dth], axis=-1)
+    return quat.multiply(dq, q)
+
+
+def _h_point(eps_c, eps_l, cam_t, cam_q, lm_t):
+    """Landmark position in the camera frame, as a function of the
+    camera error (6,) and landmark error (3,)."""
+    t = cam_t + eps_c[_DT]
+    q_wc = _perturb(cam_q, eps_c[_DTH])
+    return quat.rotate(quat.conjugate(q_wc), lm_t + eps_l - t)
+
+
+def _h_pose(eps_c, eps_l, cam_t, cam_q, lm_t, lm_q):
+    """Landmark pose [xyz, quat] in the camera frame, as a function of
+    the camera error (6,) and landmark error (6,).
+
+    Same model as the reference's symbolic h (reference
+    ekf_with_rotations.py:382-390): q_cl = q_wc⁻¹ ⊗ q_wl with
+    multiplicative perturbations on both rotations.
+    """
+    t = cam_t + eps_c[_DT]
+    q_wc = _perturb(cam_q, eps_c[_DTH])
+    q_wl = _perturb(lm_q, eps_l[_DTH])
+    xyz_cl = quat.rotate(quat.conjugate(q_wc), lm_t + eps_l[_DT] - t)
+    q_cl = quat.multiply(quat.conjugate(q_wc), q_wl)
+    return jnp.concatenate([xyz_cl, q_cl])
+
+
+# ---------------------------------------------------------------------------
+# The fused per-frame step.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def mekf_step(cfg: MekfConfig, state: MekfState,
+              obs: FrameObservations) -> MekfState:
+    """One frame: activate new landmarks → predict → update.
+
+    Mirrors the reference's observe() ordering (reference
+    extended_kalman_filter.py:58-82): markers first (so new markers
+    join this frame's update), then covariance inflation, then the
+    Kalman update over all observed markers.
+    """
+    c, le, md = cfg.capacity, cfg.lm_edims, cfg.meas_dims
+    n = cfg.err_dim
+    dt = cfg.dtype
+
+    mask = obs.mask
+    # Sanitize masked-off slots: mask-by-multiplication does not stop
+    # NaN/Inf garbage (e.g. a diverged PnP solution that detection
+    # rejected) from propagating, so replace them outright.
+    t_cl = jnp.where(mask[:, None], obs.t_cl.astype(dt), 0.0)
+    ident_q = jnp.zeros_like(obs.q_cl).at[:, 0].set(1.0)
+    q_cl = quat.normalize(
+        jnp.where(mask[:, None], obs.q_cl, ident_q).astype(dt))
+
+    # --- activation: initialize newly seen landmarks in the map frame ---
+    new = mask & ~state.active
+    lm_xyz_init = quat.rotate(state.cam_q[None, :], t_cl) + state.cam_t
+    lm = state.lm.at[:, :3].set(
+        jnp.where(new[:, None], lm_xyz_init, state.lm[:, :3]))
+    if cfg.with_rotations:
+        q_wl_init = quat.normalize(
+            quat.multiply(state.cam_q[None, :], q_cl))
+        lm = lm.at[:, 3:7].set(
+            jnp.where(new[:, None], q_wl_init, lm[:, 3:7]))
+    active = state.active | mask
+
+    lm_new_dims = jnp.repeat(new, le)  # (C*le,)
+    new_dims = jnp.concatenate([jnp.zeros(CAM_EDIMS, bool), lm_new_dims])
+    if cfg.consistent_init:
+        # Consistent augmentation: the new landmark error is a function
+        # of the camera error and the measurement noise, so
+        #   P ← G P Gᵀ + B R Bᵀ,
+        # G = I except new-block rows = ∂g/∂(camera error) in the
+        # camera columns; B = ∂g/∂(measurement).
+        if cfg.with_rotations:
+            def g_init(eps_c, z, tcl_j, qcl_j):
+                t = state.cam_t + eps_c[_DT]
+                q_wc = _perturb(state.cam_q, eps_c[_DTH])
+                xyz = quat.rotate(q_wc, tcl_j + z[:3]) + t
+                # orientation error enters via a rotation-vector
+                # perturbation of the measured relative rotation
+                q_wl = quat.multiply(
+                    q_wc, _perturb(qcl_j, z[3:6]))
+                # local error of the initialized landmark: position and
+                # rotation-vector offset from the nominal init
+                xyz0 = quat.rotate(state.cam_q, tcl_j) + state.cam_t
+                q0 = quat.multiply(state.cam_q, qcl_j)
+                dq = quat.multiply(q_wl, quat.conjugate(q0))
+                return jnp.concatenate(
+                    [xyz - xyz0, quat.to_rotvec(dq)])
+
+            zdim = 6
+            jac = jax.vmap(
+                jax.jacfwd(g_init, argnums=(0, 1)),
+                in_axes=(None, None, 0, 0),
+            )(jnp.zeros(CAM_EDIMS, dt), jnp.zeros(zdim, dt), t_cl, q_cl)
+        else:
+            def g_init(eps_c, z, tcl_j):
+                t = state.cam_t + eps_c[_DT]
+                q_wc = _perturb(state.cam_q, eps_c[_DTH])
+                xyz = quat.rotate(q_wc, tcl_j + z) + t
+                xyz0 = quat.rotate(state.cam_q, tcl_j) + state.cam_t
+                return xyz - xyz0
+
+            zdim = 3
+            jac = jax.vmap(
+                jax.jacfwd(g_init, argnums=(0, 1)),
+                in_axes=(None, None, 0),
+            )(jnp.zeros(CAM_EDIMS, dt), jnp.zeros(zdim, dt), t_cl)
+        j_cam_init, j_z_init = jac  # (C, le, 6), (C, le, zdim)
+
+        g_cam = jnp.where(new[:, None, None], j_cam_init, 0.0)
+        g_mat = jnp.eye(n, dtype=dt) * (~new_dims)[:, None]
+        g_mat = g_mat.at[CAM_EDIMS:, :CAM_EDIMS].set(
+            g_cam.reshape(c * le, CAM_EDIMS))
+        b = jnp.where(new[:, None, None], j_z_init, 0.0)
+        brb = jnp.einsum("jlz,jmz->jlm", b, b) * cfg.r_uncertainty
+        cov = g_mat @ state.cov @ g_mat.T
+        # block-diagonal scatter of brb (dense einsum against identity)
+        eye_c = jnp.eye(c, dtype=dt)
+        brb_full = jnp.einsum("jc,jlm->jlcm", eye_c, brb).reshape(
+            c * le, c * le)
+        cov = cov.at[CAM_EDIMS:, CAM_EDIMS:].add(brb_full)
+    else:
+        # Reference-style init: zero cross terms, fixed diagonal
+        # (reference extended_kalman_filter.py:276-290).
+        keep = ~new_dims
+        cov = state.cov * (keep[:, None] & keep[None, :])
+        cov = cov + jnp.diag(
+            jnp.where(new_dims, cfg.initial_landmark_uncertainty,
+                      0.0).astype(dt))
+
+    # --- predict: inflate covariance with process noise (the reference
+    # has no state motion model; predict only adds Q, reference
+    # extended_kalman_filter.py:95-105) ---
+    q_diag = jnp.zeros((n,), dt)
+    q_diag = q_diag.at[_DT].set(cfg.q_uncertainty_cam)
+    q_diag = q_diag.at[_DTH].set(cfg.q_error_uncertainty_cam)
+    lm_active_dims = jnp.repeat(active, le)
+    q_diag = q_diag.at[CAM_EDIMS:].set(
+        jnp.where(lm_active_dims, cfg.q_uncertainty_lm, 0.0))
+    cov = cov + jnp.diag(q_diag)
+
+    # --- update ---
+    if cfg.with_rotations:
+        def h_j(eps_c, eps_l, lm_j, _tcl):
+            return _h_pose(eps_c, eps_l, state.cam_t, state.cam_q,
+                           lm_j[:3], lm_j[3:7])
+    else:
+        def h_j(eps_c, eps_l, lm_j, _tcl):
+            return _h_point(eps_c, eps_l, state.cam_t, state.cam_q,
+                            lm_j[:3])
+
+    zeros_c = jnp.zeros(CAM_EDIMS, dt)
+    zeros_l = jnp.zeros(le, dt)
+
+    def h_and_jac(lm_j, tcl_j):
+        h = h_j(zeros_c, zeros_l, lm_j, tcl_j)
+        j_cam, j_lm = jax.jacfwd(h_j, argnums=(0, 1))(
+            zeros_c, zeros_l, lm_j, tcl_j)
+        return h, j_cam, j_lm
+
+    h_all, j_cam, j_lm = jax.vmap(h_and_jac)(lm, t_cl)
+    # h_all (C, md); j_cam (C, md, 6); j_lm (C, md, le)
+
+    if cfg.with_rotations:
+        # double-cover: sign-align observed quaternion to prediction
+        flip = jnp.sum(q_cl * h_all[:, 3:7], axis=-1) < 0
+        q_obs = jnp.where(flip[:, None], -q_cl, q_cl)
+        z = jnp.concatenate([t_cl, q_obs], axis=-1)
+    else:
+        z = t_cl
+
+    w = mask[:, None].astype(dt)  # (C, 1) measurement-row mask
+    resid = ((z - h_all) * w).reshape(-1)  # (C*md,)
+
+    # H: (C*md, N). Camera columns from j_cam; landmark columns block-
+    # diagonal (measurement j only touches landmark j), built with an
+    # einsum against the identity — a dense, MXU-friendly scatter.
+    h_cam = (j_cam * w[:, :, None]).reshape(c * md, CAM_EDIMS)
+    eye_c = jnp.eye(c, dtype=dt)
+    h_lm = jnp.einsum("jc,jml->jmcl", eye_c, j_lm * w[:, :, None])
+    h_mat = jnp.concatenate(
+        [h_cam, h_lm.reshape(c * md, c * le)], axis=1)
+
+    # innovation covariance + gain via dense Cholesky
+    r_diag = jnp.where(
+        jnp.repeat(mask, md), cfg.r_uncertainty, 1.0).astype(dt)
+    ph_t = cov @ h_mat.T                      # (N, C*md)
+    s = h_mat @ ph_t + jnp.diag(r_diag)       # (C*md, C*md)
+    s_fact = cho_factor(s, lower=True)
+    gain = cho_solve(s_fact, ph_t.T).T        # K = P Hᵀ S⁻¹, (N, C*md)
+    innovation = gain @ resid                 # (N,)
+
+    # state corrections: additive positions, multiplicative quaternions
+    cam_t = state.cam_t + innovation[_DT]
+    cam_q = quat.normalize(_perturb(state.cam_q, innovation[_DTH]))
+    lm_inn = innovation[CAM_EDIMS:].reshape(c, le)
+    lm = lm.at[:, :3].add(lm_inn[:, :3])
+    if cfg.with_rotations:
+        lm_q = quat.normalize(
+            jax.vmap(_perturb)(lm[:, 3:7], lm_inn[:, 3:6]))
+        lm = lm.at[:, 3:7].set(lm_q)
+
+    # covariance update
+    i_kh = jnp.eye(n, dtype=dt) - gain @ h_mat
+    if cfg.joseph_form:
+        cov = i_kh @ cov @ i_kh.T + (gain * r_diag[None, :]) @ gain.T
+    else:
+        cov = i_kh @ cov  # the reference's form (extended_kalman_filter.py:156)
+    cov = 0.5 * (cov + cov.T)
+
+    return MekfState(cam_t=cam_t, cam_q=cam_q, lm=lm, cov=cov,
+                     active=active)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mekf_scan(cfg: MekfConfig, state: MekfState, obs_seq: FrameObservations
+              ) -> tuple[MekfState, jnp.ndarray]:
+    """Run the filter over a whole sequence with `lax.scan`.
+
+    ``obs_seq`` fields carry a leading time axis (T, ...). Returns the
+    final state and the (T, 7) camera trajectory [xyz, quat wxyz] — the
+    fused equivalent of the reference's per-frame Python driver loop
+    (reference main/run_slam.py:111-141).
+    """
+
+    def step(carry, obs):
+        nxt = mekf_step(cfg, carry, obs)
+        return nxt, jnp.concatenate([nxt.cam_t, nxt.cam_q])
+
+    return jax.lax.scan(step, state, obs_seq)
+
+
+def landmark_uncertainties(cfg: MekfConfig, state: MekfState) -> jnp.ndarray:
+    """Per-landmark error covariance diagonals (C, lm_edims) — the
+    map-file uncertainty column (reference
+    extended_kalman_filter.py:91-93)."""
+    diag = jnp.diagonal(state.cov)[CAM_EDIMS:]
+    return diag.reshape(cfg.capacity, cfg.lm_edims)
+
+
+def camera_pose(state: MekfState) -> jnp.ndarray:
+    """Camera pose as [xyz, quat wxyz] (7,)."""
+    return jnp.concatenate([state.cam_t, state.cam_q])

@@ -1,0 +1,159 @@
+"""MEKF engine: masking invariants, convergence, ATE on synthetic scenes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aruco_slam_tpu.bench import ate, synthetic
+from aruco_slam_tpu.filters import (
+    FrameObservations,
+    MekfConfig,
+    init_state,
+    mekf_scan,
+    mekf_step,
+)
+from aruco_slam_tpu.filters.mekf import landmark_uncertainties
+
+
+TIGHT = dict(r_uncertainty=1e-4, q_uncertainty_cam=0.05,
+             q_error_uncertainty_cam=0.05, q_uncertainty_lm=1e-6)
+
+
+def make_obs_seq(cfg, noise_t=0.0, noise_r=0.0, frames=150, markers=8,
+                 fov_limit=0.75):
+    scene = synthetic.make_wall_scene(num_markers=markers, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    obs = synthetic.observe_poses(
+        scene, traj, cfg.capacity, noise_t=noise_t, noise_r=noise_r,
+        fov_limit=fov_limit)
+    seq = FrameObservations(
+        t_cl=jnp.asarray(obs.t_cl, cfg.dtype),
+        q_cl=jnp.asarray(obs.q_cl, cfg.dtype),
+        mask=jnp.asarray(obs.mask),
+    )
+    return scene, traj, seq
+
+
+def test_single_step_activates_and_updates():
+    cfg = MekfConfig(capacity=16, dtype=jnp.float64)
+    state = init_state(cfg)
+    scene, traj, seq = make_obs_seq(cfg, frames=2, markers=4)
+    obs0 = FrameObservations(seq.t_cl[0], seq.q_cl[0], seq.mask[0])
+    nxt = mekf_step(cfg, state, obs0)
+    assert bool(np.asarray(obs0.mask).any())
+    np.testing.assert_array_equal(np.asarray(nxt.active),
+                                  np.asarray(obs0.mask))
+    # newly initialized landmarks should be near their true positions
+    # (first camera pose ~ origin identity)
+    m = np.asarray(obs0.mask)
+    est = np.asarray(nxt.lm[:, :3])[m]
+    true = scene.marker_pos[m[: len(scene.marker_pos)]]
+    assert np.abs(est - true).max() < 0.5
+
+
+def test_inactive_slots_untouched():
+    cfg = MekfConfig(capacity=16, dtype=jnp.float64)
+    state = init_state(cfg)
+    _, _, seq = make_obs_seq(cfg, frames=30, markers=4)
+    final, _ = mekf_scan(cfg, state, seq)
+    never_seen = ~np.asarray(seq.mask).any(axis=0)
+    assert never_seen.any()
+    # state of never-seen slots unchanged
+    np.testing.assert_array_equal(
+        np.asarray(final.lm)[never_seen], np.asarray(state.lm)[never_seen])
+    # covariance of never-seen slots: initial diagonal, zero cross terms
+    unc = np.asarray(landmark_uncertainties(cfg, final))
+    np.testing.assert_allclose(
+        unc[never_seen], cfg.initial_landmark_uncertainty, atol=1e-9)
+
+
+def test_noiseless_convergence_point():
+    cfg = MekfConfig(capacity=16, dtype=jnp.float64, **TIGHT)
+    state = init_state(cfg)
+    scene, traj, seq = make_obs_seq(cfg, frames=200, markers=8)
+    final, cam_traj = mekf_scan(cfg, state, seq)
+    est_t = np.asarray(cam_traj[:, :3])
+    err = ate.ate_rmse(est_t, traj.cam_t)
+    # noiseless observations + tight noise config. The consistent
+    # landmark init carries honest gauge drift (the map is anchored
+    # only by the initial camera prior), so a few cm over the orbit.
+    assert err < 0.04, f"ATE {err}"
+    # landmarks converge to ground truth in the gauge-aligned frame
+    s, r, tt = ate.umeyama_alignment(est_t, traj.cam_t)
+    m = len(scene.marker_pos)
+    seen = np.asarray(seq.mask).any(axis=0)[:m]
+    lm_est = np.asarray(final.lm[:m, :3])[seen]
+    lm_aligned = (s * (r @ lm_est.T)).T + tt
+    lm_err = np.abs(lm_aligned - scene.marker_pos[seen]).max()
+    assert lm_err < 0.15, f"landmark err {lm_err}"  # late-activated landmarks inherit init-epoch gauge
+
+
+def test_reference_default_tuning_tracks():
+    """With the reference's (very loose) default noise constants and a
+    sparse-visibility scene, the filter drifts but stays bounded —
+    the behavior envelope of the reference EKF."""
+    cfg = MekfConfig(capacity=16, dtype=jnp.float64)
+    state = init_state(cfg)
+    _, traj, seq = make_obs_seq(cfg, frames=200, markers=8, fov_limit=0.45)
+    _, cam_traj = mekf_scan(cfg, state, seq)
+    err = ate.ate_rmse(np.asarray(cam_traj[:, :3]), traj.cam_t)
+    assert np.isfinite(err) and err < 0.6, f"ATE {err}"
+
+
+def test_noisy_convergence_point():
+    cfg = MekfConfig(capacity=16, dtype=jnp.float64,
+                     r_uncertainty=1e-3, q_uncertainty_cam=0.05,
+                     q_error_uncertainty_cam=0.05, q_uncertainty_lm=1e-5)
+    state = init_state(cfg)
+    scene, traj, seq = make_obs_seq(
+        cfg, frames=200, markers=12, noise_t=0.01, noise_r=0.01)
+    _, cam_traj = mekf_scan(cfg, state, seq)
+    err = ate.ate_rmse(np.asarray(cam_traj[:, :3]), traj.cam_t)
+    assert err < 0.05, f"ATE {err}"
+
+
+def test_noiseless_convergence_rotations():
+    cfg = MekfConfig(capacity=16, with_rotations=True, dtype=jnp.float64,
+                     **TIGHT)
+    state = init_state(cfg)
+    scene, traj, seq = make_obs_seq(cfg, frames=200, markers=8)
+    final, cam_traj = mekf_scan(cfg, state, seq)
+    err = ate.ate_rmse(np.asarray(cam_traj[:, :3]), traj.cam_t)
+    assert err < 0.04, f"ATE {err}"
+    # landmark orientations should match ground truth (up to sign)
+    m = len(scene.marker_pos)
+    seen = np.asarray(seq.mask).any(axis=0)[:m]
+    est_q = np.asarray(final.lm[:m, 3:7])[seen]
+    true_q = scene.marker_quat[seen]
+    dots = np.abs(np.sum(est_q * true_q, axis=-1))
+    assert (dots > 0.99).all(), dots
+
+
+def test_float32_stability():
+    """The TPU dtype: covariance must stay PSD-ish and finite."""
+    cfg = MekfConfig(capacity=16, dtype=jnp.float32,
+                     r_uncertainty=1e-3, q_uncertainty_cam=0.05,
+                     q_error_uncertainty_cam=0.05, q_uncertainty_lm=1e-5)
+    state = init_state(cfg)
+    _, traj, seq = make_obs_seq(
+        cfg, frames=300, markers=8, noise_t=0.005, noise_r=0.005)
+    final, cam_traj = mekf_scan(cfg, state, seq)
+    assert np.isfinite(np.asarray(cam_traj)).all()
+    diag = np.diagonal(np.asarray(final.cov))
+    assert (diag > -1e-3).all()
+    err = ate.ate_rmse(np.asarray(cam_traj[:, :3]), traj.cam_t)
+    assert err < 0.1, f"ATE {err}"
+
+
+def test_scan_matches_step_loop():
+    cfg = MekfConfig(capacity=16, dtype=jnp.float64)
+    state = init_state(cfg)
+    _, _, seq = make_obs_seq(cfg, frames=20, markers=4)
+    by_scan, _ = mekf_scan(cfg, state, seq)
+    s = state
+    for i in range(20):
+        s = mekf_step(cfg, s, FrameObservations(
+            seq.t_cl[i], seq.q_cl[i], seq.mask[i]))
+    np.testing.assert_allclose(
+        np.asarray(by_scan.cam_t), np.asarray(s.cam_t), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(by_scan.cov), np.asarray(s.cov), atol=1e-12)
