@@ -206,7 +206,7 @@ def observe_corners(scene: Scene, traj: Trajectory,
         rel_q = _quat_mul(cq_inv[None], scene.marker_quat)
         # corners in camera frame: (M, 4, 3)
         pts = _quat_rotate(rel_q[:, None, :], obj[None]) + rel_t[:, None, :]
-        px = np.asarray(cam_mod.project(cam, jnp.asarray(pts)))
+        px = np.array(cam_mod.project(cam, jnp.asarray(pts)))
         px += rng.normal(scale=noise_px, size=px.shape)
         in_img = (
             (pts[..., 2] > 0.2).all(-1)

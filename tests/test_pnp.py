@@ -1,0 +1,117 @@
+"""Batched IPPE-square PnP vs ground truth and cv2.solvePnP oracle."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from aruco_slam_tpu.bench import synthetic
+from aruco_slam_tpu.core import camera
+from aruco_slam_tpu.ops import pnp
+
+K = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3], [0.0, 0.0, 1.0]])
+DIST = np.array([0.0614, -0.2951, 0.0005, 0.0029, 0.4387])
+MARKER = 0.16
+
+
+def make_cases(n=100, seed=0, max_tilt=1.0):
+    """Random marker poses in front of the camera + projected corners."""
+    rng = np.random.default_rng(seed)
+    obj = np.asarray(pnp.square_object_points(MARKER))
+    # face the camera (z-axis flipped) with a random tilt on top
+    tilt = Rotation.from_rotvec(
+        rng.normal(scale=max_tilt / 1.7, size=(n, 3)))
+    flip = Rotation.from_rotvec([np.pi, 0, 0])
+    rots = (tilt * flip).as_matrix()
+    rvecs = Rotation.from_matrix(rots).as_rotvec()
+    tvecs = np.stack(
+        [rng.uniform(-0.8, 0.8, n), rng.uniform(-0.4, 0.4, n),
+         rng.uniform(0.8, 4.0, n)], axis=-1)
+    pts_cam = np.einsum("nij,kj->nki", rots, obj) + tvecs[:, None, :]
+    cam = camera.CameraModel.from_matrix(K, DIST)
+    px = np.asarray(camera.project(cam, jnp.asarray(pts_cam)))
+    # keep only cases where the marker faces the camera and is in-image
+    facing = np.einsum("nij,nj->n", rots, tvecs)[...] # z-axis · t
+    keep = (
+        (pts_cam[..., 2] > 0.1).all(-1)
+        & (px[..., 0] > 10).all(-1) & (px[..., 0] < 1910).all(-1)
+        & (px[..., 1] > 10).all(-1) & (px[..., 1] < 1070).all(-1)
+        & (np.einsum("nki,ni->nk", pts_cam, rots[:, :, 2]) < 0).all(-1)
+    )
+    del facing
+    return cam, px[keep], rvecs[keep], tvecs[keep], rots[keep]
+
+
+def test_recovers_ground_truth():
+    cam, px, rvecs, tvecs, rots = make_cases(200, seed=1)
+    assert len(px) > 80
+    res = pnp.solve_square_pnp(cam, jnp.asarray(px), MARKER)
+    t_err = np.linalg.norm(np.asarray(res.t_cl) - tvecs, axis=-1)
+    assert t_err.max() < 2e-3, t_err.max()
+    est_r = Rotation.from_quat(np.array(res.q_cl), scalar_first=True)
+    ang = (est_r * Rotation.from_matrix(rots).inv()).magnitude()
+    assert np.degrees(ang).max() < 0.5, np.degrees(ang).max()
+    assert np.asarray(res.err).max() < 0.1  # px
+
+
+def test_matches_cv2_ippe_square():
+    cam, px, rvecs, tvecs, _ = make_cases(150, seed=2)
+    obj = np.asarray(pnp.square_object_points(MARKER), dtype=np.float32)
+    res = pnp.solve_square_pnp(cam, jnp.asarray(px), MARKER)
+    ours_t = np.asarray(res.t_cl)
+    for i in range(len(px)):
+        ok, rv, tv = cv2.solvePnP(
+            obj, px[i].astype(np.float32).reshape(4, 1, 2), K, DIST,
+            flags=cv2.SOLVEPNP_IPPE_SQUARE)
+        assert ok
+        np.testing.assert_allclose(ours_t[i], tv.ravel(), atol=2e-3)
+
+
+def test_noisy_corners_graceful():
+    cam, px, rvecs, tvecs, _ = make_cases(150, seed=3)
+    rng = np.random.default_rng(4)
+    noisy = px + rng.normal(scale=0.5, size=px.shape)
+    res = pnp.solve_square_pnp(cam, jnp.asarray(noisy), MARKER)
+    t_err = np.linalg.norm(np.asarray(res.t_cl) - tvecs, axis=-1)
+    rel = t_err / np.linalg.norm(tvecs, axis=-1)
+    # sub-pixel corner noise: translation good to a few percent
+    assert np.median(rel) < 0.02
+    assert np.asarray(res.err).max() < 2.0
+
+
+def test_planar_ambiguity_resolution():
+    """Low-tilt markers are where the two IPPE solutions are close; the
+    solver must still pick the true one for clearly-tilted markers."""
+    cam, px, rvecs, tvecs, rots = make_cases(300, seed=5, max_tilt=0.8)
+    res = pnp.solve_square_pnp(cam, jnp.asarray(px), MARKER)
+    est_r = Rotation.from_quat(np.array(res.q_cl), scalar_first=True)
+    ang = np.degrees((est_r * Rotation.from_matrix(rots).inv()).magnitude())
+    tilt = np.degrees(np.abs(rvecs[:, :2]).max(-1)[: len(ang)])
+    del tilt
+    assert (ang < 1.0).mean() > 0.97, (ang.max(), (ang > 1).sum())
+
+
+def test_batch_shapes():
+    cam, px, *_ = make_cases(60, seed=6)
+    n = (len(px) // 12) * 12
+    batched = jnp.asarray(px[:n].reshape(-1, 12, 4, 2))
+    res = pnp.solve_square_pnp(cam, batched, MARKER)
+    assert res.t_cl.shape == (n // 12, 12, 3)
+    assert res.err.shape == (n // 12, 12)
+
+
+def test_frame_observation_pipeline():
+    """End-to-end: synthetic scene corners -> PnP -> camera-frame poses
+    match the scene's relative marker poses."""
+    scene = synthetic.make_wall_scene(num_markers=6, seed=7)
+    traj = synthetic.make_orbit_trajectory(num_frames=5)
+    cam = camera.CameraModel.from_matrix(K, DIST)
+    corners, mask = synthetic.observe_corners(scene, traj, cam, capacity=8)
+    res = pnp.solve_square_pnp(cam, jnp.asarray(corners), scene.marker_size)
+    # ground-truth marker-in-camera translations (visibility gates can
+    # differ between corner- and pose-level observers, so compute truth
+    # directly rather than reusing observe_poses' mask)
+    obs = synthetic.observe_poses(
+        scene, traj, capacity=8, fov_limit=10.0, max_range=100.0)
+    err = np.linalg.norm(np.asarray(res.t_cl) - obs.t_cl, axis=-1)
+    assert err[mask].max() < 5e-3, err[mask].max()
