@@ -1,0 +1,426 @@
+"""Batched Schur-complement bundle adjustment on marker pose graphs.
+
+Problem structure (mirrors the reference's factor graph, reference
+filters/factor_graph.py:92-300):
+
+* pose variables X_0 .. X_{n-1} — camera poses (camera-to-world),
+* landmark variables L_j — marker positions (3-vectors; the reference's
+  landmark Pose3 rotations are vestigial — only translations are ever
+  read out, reference factor_graph.py:201-204 — so we model points),
+* a hard prior on X_0 (the reference uses zero-sigma start noise,
+  reference factor_graph.py:41-43: we freeze X_0 as the gauge),
+* identity-motion odometry factors between consecutive poses
+  (reference factor_graph.py:161-189),
+* camera→landmark observation factors carrying the PnP translation
+  t_cl (reference factor_graph.py:287-300 uses a BetweenFactorPose3
+  whose rotation is a copy of the current camera estimate — i.e. only
+  the translation is informative; we use the honest 3-dim point
+  factor r = R_iᵀ(l_j − t_i) − t_cl).
+
+TPU shape of the solve: all residual/Jacobian blocks are produced by
+``vmap(jacfwd(...))`` over factor arrays, the normal equations are
+assembled with scatter-adds into dense blocks, landmarks are
+eliminated with a **dense** Schur complement
+
+    S = H_pp − W H_ll⁻¹ Wᵀ,      g_s = g_p − W H_ll⁻¹ g_l,
+
+and the reduced (6n × 6n) camera system is solved by Cholesky. With
+≤ a few thousand poses and ≤ a few hundred markers the dense forms are
+small by TPU standards — a handful of MXU matmuls — and avoid every
+sparse/pointer structure GTSAM's Bayes tree needs on CPU.
+
+Fixed capacity everywhere: `max_poses`, `max_landmarks`, `max_factors`
+with validity masks; padded entries contribute exactly zero and padded
+variables are frozen with identity diagonal blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from aruco_slam_tpu.core import quaternion as quat
+
+_PI = 3.141592653589793
+
+
+class GraphConfig(NamedTuple):
+    """Capacities + noise model. Noise defaults equal the reference's
+    (reference filters/factor_graph.py:20-25)."""
+
+    max_poses: int = 128
+    max_landmarks: int = 64
+    max_factors: int = 1024
+    odom_sigma_rot: float = 20.0 * _PI / 180.0
+    odom_sigma_t: float = 0.1
+    meas_sigma_t: float = 0.5
+    # Levenberg-Marquardt (reference factor_graph.py:334-336)
+    lm_init_lambda: float = 1e-4
+    lm_factor: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+
+class GraphState(NamedTuple):
+    """Fixed-capacity pose-graph problem + current estimates."""
+
+    pose_q: jnp.ndarray    # (T, 4) wxyz camera-to-world
+    pose_t: jnp.ndarray    # (T, 3)
+    lm: jnp.ndarray        # (L, 3) marker positions (world)
+    lm_active: jnp.ndarray  # (L,) bool
+    num_poses: jnp.ndarray  # () int32 — poses 0..num_poses-1 are live
+    f_pose: jnp.ndarray    # (F,) int32 observing pose index
+    f_lm: jnp.ndarray      # (F,) int32 observed landmark index
+    f_tcl: jnp.ndarray     # (F, 3) measured marker pos in camera frame
+    f_valid: jnp.ndarray   # (F,) bool
+    f_count: jnp.ndarray   # () int32
+
+
+def init_graph(cfg: GraphConfig, cam_t=None, cam_q=None) -> GraphState:
+    dt = cfg.dtype
+    pose_q = jnp.zeros((cfg.max_poses, 4), dt).at[:, 0].set(1.0)
+    pose_t = jnp.zeros((cfg.max_poses, 3), dt)
+    if cam_q is not None:
+        pose_q = pose_q.at[0].set(jnp.asarray(cam_q, dt))
+    if cam_t is not None:
+        pose_t = pose_t.at[0].set(jnp.asarray(cam_t, dt))
+    return GraphState(
+        pose_q=pose_q,
+        pose_t=pose_t,
+        lm=jnp.zeros((cfg.max_landmarks, 3), dt),
+        lm_active=jnp.zeros(cfg.max_landmarks, bool),
+        num_poses=jnp.asarray(1, jnp.int32),
+        f_pose=jnp.zeros(cfg.max_factors, jnp.int32),
+        f_lm=jnp.zeros(cfg.max_factors, jnp.int32),
+        f_tcl=jnp.zeros((cfg.max_factors, 3), dt),
+        f_valid=jnp.zeros(cfg.max_factors, bool),
+        f_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
+              mask: jnp.ndarray) -> GraphState:
+    """Ingest one frame: measurement factors for observed slots, new
+    landmark initialization, and the next pose (identity motion model,
+    reference factor_graph.py:161-189).
+
+    ``t_cl``: (C, 3) marker positions in the camera frame, slot-indexed
+    (slot == landmark index == marker id); ``mask``: (C,) bool.
+    Observations beyond factor capacity are dropped (oldest-first
+    semantics are preserved by construction — new factors append).
+    """
+    dt = cfg.dtype
+    i = state.num_poses - 1  # current pose index
+    cam_q = state.pose_q[i]
+    cam_t = state.pose_t[i]
+    t_cl = jnp.where(mask[:, None], t_cl.astype(dt), 0.0)
+
+    # initialize unseen landmarks in the world frame
+    new = mask & ~state.lm_active
+    lm_init = quat.rotate(cam_q[None, :], t_cl) + cam_t
+    lm = jnp.where(new[:, None], lm_init, state.lm)
+    lm_active = state.lm_active | mask
+
+    # append measurement factors at slots f_count + rank(slot in mask)
+    c = mask.shape[0]
+    rank = jnp.cumsum(mask) - 1                     # (C,)
+    dest = state.f_count + rank                     # (C,)
+    ok = mask & (dest < cfg.max_factors)
+    # masked-off slots scatter out of bounds and are dropped — this
+    # avoids write collisions between live and dead lanes
+    dest_safe = jnp.where(ok, dest, cfg.max_factors)
+    slots = jnp.arange(c, dtype=jnp.int32)
+
+    def scatter(arr, vals):
+        return arr.at[dest_safe].set(vals, mode="drop")
+
+    f_pose = scatter(state.f_pose, jnp.full(c, i, jnp.int32))
+    f_lm = scatter(state.f_lm, slots)
+    f_tcl = scatter(state.f_tcl, t_cl)
+    f_valid = scatter(state.f_valid, ok)
+    f_count = jnp.minimum(
+        state.f_count + jnp.sum(mask, dtype=jnp.int32),
+        jnp.asarray(cfg.max_factors, jnp.int32))
+
+    # next pose: identity motion model (estimate = current pose)
+    nxt = jnp.minimum(state.num_poses, cfg.max_poses - 1)
+    pose_q = state.pose_q.at[nxt].set(cam_q)
+    pose_t = state.pose_t.at[nxt].set(cam_t)
+    num_poses = jnp.minimum(state.num_poses + 1,
+                            jnp.asarray(cfg.max_poses, jnp.int32))
+
+    return state._replace(
+        pose_q=pose_q, pose_t=pose_t, lm=lm, lm_active=lm_active,
+        num_poses=num_poses, f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl,
+        f_valid=f_valid, f_count=f_count)
+
+
+# ---------------------------------------------------------------------------
+# Residuals (whitened) and their Jacobian blocks, batched per factor.
+# ---------------------------------------------------------------------------
+
+def _meas_residual(eps_p, eps_l, pose_q, pose_t, lm, t_cl, sigma_t):
+    """Whitened point-observation residual (3,).
+
+    Perturbations: pose rotation right-multiplicative rotvec eps_p[:3]
+    ... wait — convention: eps_p = [δθ (right rotvec), δt (world)].
+    """
+    q = quat.multiply(pose_q, quat.from_rotvec(eps_p[:3]))
+    t = pose_t + eps_p[3:]
+    pred = quat.rotate(quat.conjugate(q), lm + eps_l - t)
+    return (pred - t_cl) / sigma_t
+
+
+def _odom_residual(eps_a, eps_b, qa, ta, qb, tb, sig_rot, sig_t):
+    """Whitened identity-motion between-factor residual (6,) for the
+    pose pair (a = X_{i}, b = X_{i-1}): [Log(R_aᵀ R_b), R_aᵀ(t_b − t_a)]
+    — the expected relative pose is the identity (reference
+    factor_graph.py:178-185)."""
+    q_a = quat.multiply(qa, quat.from_rotvec(eps_a[:3]))
+    t_a = ta + eps_a[3:]
+    q_b = quat.multiply(qb, quat.from_rotvec(eps_b[:3]))
+    t_b = tb + eps_b[3:]
+    rel_q = quat.multiply(quat.conjugate(q_a), q_b)
+    r_rot = quat.to_rotvec(rel_q) / sig_rot
+    r_t = quat.rotate(quat.conjugate(q_a), t_b - t_a) / sig_t
+    return jnp.concatenate([r_rot, r_t])
+
+
+def _linearize(cfg: GraphConfig, state: GraphState, free_from):
+    """Build the dense Schur-ready normal equations.
+
+    ``free_from``: first free pose index (int32 scalar). Poses with
+    index < free_from (and the gauge pose 0, and padded poses) are
+    frozen: their Jacobian columns are dropped. Landmarks are always
+    free (matching ISAM2, which keeps landmarks active).
+
+    Returns (h_pp, w, h_ll, g_p, g_l, cost):
+      h_pp (T*6, T*6), w (T*6, L*3), h_ll (L, 3, 3), g_p (T*6,),
+      g_l (L*3,), cost ().
+    """
+    dt = cfg.dtype
+    tcap, lcap, fcap = cfg.max_poses, cfg.max_landmarks, cfg.max_factors
+    z6 = jnp.zeros(6, dt)
+    z3 = jnp.zeros(3, dt)
+
+    pose_free = (jnp.arange(tcap) >= jnp.maximum(free_from, 1)) \
+        & (jnp.arange(tcap) < state.num_poses)
+
+    # --- measurement factors ---
+    fq = state.pose_q[state.f_pose]
+    ft = state.pose_t[state.f_pose]
+    fl = state.lm[state.f_lm]
+
+    def meas_all(q, t, l, tcl):
+        r = _meas_residual(z6, z3, q, t, l, tcl, cfg.meas_sigma_t)
+        jp, jl = jax.jacfwd(_meas_residual, argnums=(0, 1))(
+            z6, z3, q, t, l, tcl, cfg.meas_sigma_t)
+        return r, jp, jl
+
+    r_m, jp_m, jl_m = jax.vmap(meas_all)(fq, ft, fl, state.f_tcl)
+    valid = state.f_valid
+    r_m = jnp.where(valid[:, None], r_m, 0.0)
+    jp_m = jnp.where((valid & pose_free[state.f_pose])[:, None, None],
+                     jp_m, 0.0)
+    jl_m = jnp.where(valid[:, None, None], jl_m, 0.0)
+
+    # --- odometry factors between consecutive live poses ---
+    idx_a = jnp.arange(1, tcap)             # X_i
+    idx_b = jnp.arange(0, tcap - 1)         # X_{i-1}
+    o_valid = idx_a < state.num_poses
+
+    def odom_all(qa, ta, qb, tb):
+        r = _odom_residual(z6, z6, qa, ta, qb, tb,
+                           cfg.odom_sigma_rot, cfg.odom_sigma_t)
+        ja, jb = jax.jacfwd(_odom_residual, argnums=(0, 1))(
+            z6, z6, qa, ta, qb, tb, cfg.odom_sigma_rot, cfg.odom_sigma_t)
+        return r, ja, jb
+
+    r_o, ja_o, jb_o = jax.vmap(odom_all)(
+        state.pose_q[idx_a], state.pose_t[idx_a],
+        state.pose_q[idx_b], state.pose_t[idx_b])
+    r_o = jnp.where(o_valid[:, None], r_o, 0.0)
+    ja_o = jnp.where((o_valid & pose_free[idx_a])[:, None, None], ja_o, 0.0)
+    jb_o = jnp.where((o_valid & pose_free[idx_b])[:, None, None], jb_o, 0.0)
+
+    cost = jnp.sum(r_m * r_m) + jnp.sum(r_o * r_o)
+
+    # --- assemble normal equations ---
+    # pose-pose: diag blocks from meas + odom self terms, off-diag from
+    # odom cross terms. Scatter-add into (T, 6, T, 6) then reshape.
+    h4 = jnp.zeros((tcap, 6, tcap, 6), dt)
+    diag_m = jnp.einsum("fmi,fmj->fij", jp_m, jp_m)
+    h4 = h4.at[state.f_pose, :, state.f_pose, :].add(diag_m)
+    h4 = h4.at[idx_a, :, idx_a, :].add(
+        jnp.einsum("fmi,fmj->fij", ja_o, ja_o))
+    h4 = h4.at[idx_b, :, idx_b, :].add(
+        jnp.einsum("fmi,fmj->fij", jb_o, jb_o))
+    cross = jnp.einsum("fmi,fmj->fij", ja_o, jb_o)
+    h4 = h4.at[idx_a, :, idx_b, :].add(cross)
+    h4 = h4.at[idx_b, :, idx_a, :].add(
+        jnp.swapaxes(cross, -1, -2))
+    # frozen poses: identity diagonal so the dense solve stays SPD
+    frozen = ~pose_free
+    h4 = h4.at[jnp.arange(tcap), :, jnp.arange(tcap), :].add(
+        jnp.where(frozen[:, None, None], jnp.eye(6, dtype=dt), 0.0))
+    h_pp = h4.reshape(tcap * 6, tcap * 6)
+
+    # pose-landmark coupling W and landmark blocks
+    w4 = jnp.zeros((tcap, 6, lcap, 3), dt)
+    w4 = w4.at[state.f_pose, :, state.f_lm, :].add(
+        jnp.einsum("fmi,fmj->fij", jp_m, jl_m))
+    w = w4.reshape(tcap * 6, lcap * 3)
+
+    h_ll = jnp.zeros((lcap, 3, 3), dt)
+    h_ll = h_ll.at[state.f_lm].add(
+        jnp.einsum("fmi,fmj->fij", jl_m, jl_m))
+    # inactive landmarks: identity so the block inverse is well defined
+    h_ll = h_ll + jnp.where(
+        state.lm_active[:, None, None], 0.0, 1.0) * jnp.eye(3, dtype=dt)
+
+    g_p = jnp.zeros((tcap, 6), dt)
+    g_p = g_p.at[state.f_pose].add(-jnp.einsum("fmi,fm->fi", jp_m, r_m))
+    g_p = g_p.at[idx_a].add(-jnp.einsum("fmi,fm->fi", ja_o, r_o))
+    g_p = g_p.at[idx_b].add(-jnp.einsum("fmi,fm->fi", jb_o, r_o))
+    g_p = g_p.reshape(tcap * 6)
+
+    g_l = jnp.zeros((lcap, 3), dt)
+    g_l = g_l.at[state.f_lm].add(-jnp.einsum("fmi,fm->fi", jl_m, r_m))
+    g_l = g_l.reshape(lcap * 3)
+
+    return h_pp, w, h_ll, g_p, g_l, cost
+
+
+def _schur_solve(cfg: GraphConfig, h_pp, w, h_ll, g_p, g_l, damping):
+    """Schur-eliminate landmarks, solve the reduced camera system."""
+    dt = cfg.dtype
+    lcap = cfg.max_landmarks
+    eye3 = jnp.eye(3, dtype=dt)
+    h_ll_d = h_ll + damping * eye3[None]
+    h_ll_inv = jnp.linalg.inv(h_ll_d)                    # (L, 3, 3)
+    w3 = w.reshape(-1, lcap, 3)                          # (T6, L, 3)
+    w_hinv = jnp.einsum("nlk,lkm->nlm", w3, h_ll_inv)    # (T6, L, 3)
+    s = h_pp - jnp.einsum("nlm,plm->np", w_hinv, w3)
+    s = s + damping * jnp.eye(s.shape[0], dtype=dt)
+    g_s = g_p - jnp.einsum(
+        "nlm,lm->n", w_hinv, g_l.reshape(lcap, 3))
+    fact = cho_factor(s, lower=True)
+    dp = cho_solve(fact, g_s)
+    rhs_l = g_l.reshape(lcap, 3) - jnp.einsum(
+        "nlm,n->lm", w3, dp)
+    dl = jnp.einsum("lkm,lm->lk", h_ll_inv, rhs_l)
+    return dp.reshape(-1, 6), dl
+
+
+def _retract(state: GraphState, dp, dl, free_from):
+    tcap = state.pose_q.shape[0]
+    pose_free = (jnp.arange(tcap) >= jnp.maximum(free_from, 1)) \
+        & (jnp.arange(tcap) < state.num_poses)
+    dp = jnp.where(pose_free[:, None], dp, 0.0)
+    pose_q = quat.normalize(
+        quat.multiply(state.pose_q, quat.from_rotvec(dp[:, :3])))
+    pose_t = state.pose_t + dp[:, 3:]
+    dl = jnp.where(state.lm_active[:, None], dl, 0.0)
+    return state._replace(pose_q=pose_q, pose_t=pose_t,
+                          lm=state.lm + dl)
+
+
+def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
+    """Total whitened squared error at the current estimate."""
+    dt = cfg.dtype
+    fq = state.pose_q[state.f_pose]
+    ft = state.pose_t[state.f_pose]
+    fl = state.lm[state.f_lm]
+    z6 = jnp.zeros(6, dt)
+    z3 = jnp.zeros(3, dt)
+    r_m = jax.vmap(
+        lambda q, t, l, tcl: _meas_residual(
+            z6, z3, q, t, l, tcl, cfg.meas_sigma_t)
+    )(fq, ft, fl, state.f_tcl)
+    r_m = jnp.where(state.f_valid[:, None], r_m, 0.0)
+    tcap = cfg.max_poses
+    idx_a = jnp.arange(1, tcap)
+    idx_b = jnp.arange(0, tcap - 1)
+    r_o = jax.vmap(
+        lambda qa, ta, qb, tb: _odom_residual(
+            z6, z6, qa, ta, qb, tb, cfg.odom_sigma_rot, cfg.odom_sigma_t)
+    )(state.pose_q[idx_a], state.pose_t[idx_a],
+      state.pose_q[idx_b], state.pose_t[idx_b])
+    r_o = jnp.where((idx_a < state.num_poses)[:, None], r_o, 0.0)
+    return jnp.sum(r_m * r_m) + jnp.sum(r_o * r_o)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _optimize(cfg: GraphConfig, state: GraphState, iters: int,
+              free_from) -> tuple[GraphState, jnp.ndarray]:
+    """Levenberg-Marquardt: `iters` trial steps with adaptive damping.
+
+    Each iteration linearizes, Schur-solves, and accepts the step only
+    if the true cost decreases (classic LM accept/reject, the behavior
+    of the reference's gtsam LevenbergMarquardtOptimizer,
+    reference factor_graph.py:327-345).
+    """
+
+    def step(carry, _):
+        st, lam, cost = carry
+        h_pp, w, h_ll, g_p, g_l, _ = _linearize(cfg, st, free_from)
+        dp, dl = _schur_solve(cfg, h_pp, w, h_ll, g_p, g_l, lam)
+        trial = _retract(st, dp, dl, free_from)
+        new_cost = _cost_only(cfg, trial)
+        accept = new_cost < cost
+        st = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), trial, st)
+        lam = jnp.where(accept, lam / cfg.lm_factor, lam * cfg.lm_factor)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (st, lam, cost), cost
+
+    cost0 = _cost_only(cfg, state)
+    lam0 = jnp.asarray(cfg.lm_init_lambda, cfg.dtype)
+    (state, _, cost), _ = jax.lax.scan(
+        step, (state, lam0, cost0), None, length=iters)
+    return state, cost
+
+
+def optimize_window(cfg: GraphConfig, state: GraphState,
+                    window: int = 8, iters: int = 3
+                    ) -> tuple[GraphState, jnp.ndarray]:
+    """Incremental smoothing: re-linearized GN/LM over the trailing
+    `window` poses (earlier poses frozen) + all landmarks — the
+    ISAM2-equivalent online mode (reference factor_graph.py:153-155)."""
+    free_from = jnp.maximum(state.num_poses - window, 1)
+    return _optimize(cfg, state, iters, free_from)
+
+
+def batch_optimize(cfg: GraphConfig, state: GraphState,
+                   iters: int = 50) -> tuple[GraphState, jnp.ndarray]:
+    """Full-batch LM over every pose (the reference's offline
+    batch_optimize, reference factor_graph.py:327-345)."""
+    return _optimize(cfg, state, iters, jnp.asarray(1, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def landmark_covariances(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
+    """Marginal covariance blocks (L, 3, 3) of the landmarks — the role
+    of ISAM2's marginalCovariance (reference factor_graph.py:208-218).
+
+    Cov_ll = H_ll⁻¹ + H_ll⁻¹ Wᵀ S⁻¹ W H_ll⁻¹ (block diagonal part).
+    """
+    free_from = jnp.asarray(1, jnp.int32)
+    h_pp, w, h_ll, _, _, _ = _linearize(cfg, state, free_from)
+    dt = cfg.dtype
+    lcap = cfg.max_landmarks
+    eps = 1e-6
+    h_ll_inv = jnp.linalg.inv(h_ll + eps * jnp.eye(3, dtype=dt)[None])
+    w3 = w.reshape(-1, lcap, 3)
+    m = jnp.einsum("nlk,lkm->nlm", w3, h_ll_inv)       # W H_ll⁻¹
+    s = h_pp - jnp.einsum("nlm,plm->np", m, w3)
+    s = s + eps * jnp.eye(s.shape[0], dtype=dt)
+    fact = cho_factor(s, lower=True)
+    y = cho_solve(fact, m.reshape(m.shape[0], -1)).reshape(m.shape)
+    corr = jnp.einsum("nlk,nlm->lkm", m, y)
+    return h_ll_inv + corr

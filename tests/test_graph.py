@@ -1,0 +1,143 @@
+"""Schur-complement BA backend: batch + incremental convergence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aruco_slam_tpu.bench import ate, synthetic
+from aruco_slam_tpu.graph import (
+    GraphConfig,
+    add_frame,
+    batch_optimize,
+    init_graph,
+    landmark_covariances,
+    optimize_window,
+)
+
+
+# Well-posed noise for solver-correctness tests. (The reference's
+# defaults — zero-motion odometry sigma 0.1 m vs measurement sigma
+# 0.5 m — bias the MAP estimate toward suppressing real motion; they
+# are exercised separately in test_reference_noise_defaults.)
+TUNED = dict(meas_sigma_t=0.01, odom_sigma_t=1.0, odom_sigma_rot=1.0)
+
+
+def build_problem(frames=50, markers=8, noise_t=0.0, seed=0,
+                  dtype=jnp.float64, **noise):
+    cfg = GraphConfig(max_poses=frames + 2, max_landmarks=16,
+                      max_factors=frames * 10, dtype=dtype, **noise)
+    scene = synthetic.make_wall_scene(num_markers=markers, seed=seed)
+    traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    obs = synthetic.observe_poses(
+        scene, traj, cfg.max_landmarks, noise_t=noise_t, fov_limit=0.75)
+    return cfg, scene, traj, obs
+
+
+def ingest_all(cfg, obs, frames):
+    state = init_graph(cfg)
+    for i in range(frames):
+        state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
+                          jnp.asarray(obs.mask[i]))
+    return state
+
+
+def est_traj(state, frames):
+    return np.asarray(state.pose_t)[:frames]
+
+
+def test_batch_optimize_converges():
+    frames = 50
+    cfg, scene, traj, obs = build_problem(frames, noise_t=0.005, **TUNED)
+    state = ingest_all(cfg, obs, frames)
+    state, cost = batch_optimize(cfg, state, iters=40)
+    assert np.isfinite(float(cost))
+    err = ate.ate_rmse(est_traj(state, frames), traj.cam_t[:frames])
+    assert err < 0.02, f"ATE {err}"
+    # landmarks land near truth (gauge-aligned)
+    s, r, t = ate.umeyama_alignment(est_traj(state, frames),
+                                    traj.cam_t[:frames])
+    m = len(scene.marker_pos)
+    active = np.asarray(state.lm_active)[:m]
+    lm = (s * (r @ np.asarray(state.lm)[:m][active].T)).T + t
+    assert np.abs(lm - scene.marker_pos[active]).max() < 0.05
+
+
+def test_batch_reduces_cost_monotonically_in_accepted_steps():
+    frames = 30
+    cfg, _, _, obs = build_problem(frames, noise_t=0.01, seed=3)
+    state = ingest_all(cfg, obs, frames)
+    from aruco_slam_tpu.graph.ba import _cost_only
+    c0 = float(_cost_only(cfg, state))
+    state, c1 = batch_optimize(cfg, state, iters=15)
+    assert float(c1) <= c0
+
+
+def test_incremental_window_tracks():
+    frames = 60
+    cfg, scene, traj, obs = build_problem(frames, noise_t=0.005, seed=1,
+                                          **TUNED)
+    state = init_graph(cfg)
+    for i in range(frames):
+        state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
+                          jnp.asarray(obs.mask[i]))
+        state, _ = optimize_window(cfg, state, window=8, iters=2)
+    err = ate.ate_rmse(est_traj(state, frames), traj.cam_t[:frames])
+    assert err < 0.05, f"ATE {err}"
+
+
+def test_gauge_pose_fixed():
+    frames = 20
+    cfg, _, _, obs = build_problem(frames, seed=2)
+    state = ingest_all(cfg, obs, frames)
+    q0 = np.asarray(state.pose_q[0]).copy()
+    t0 = np.asarray(state.pose_t[0]).copy()
+    state, _ = batch_optimize(cfg, state, iters=10)
+    np.testing.assert_array_equal(np.asarray(state.pose_q[0]), q0)
+    np.testing.assert_array_equal(np.asarray(state.pose_t[0]), t0)
+
+
+def test_factor_capacity_overflow_drops():
+    frames = 30
+    cfg, _, _, obs = build_problem(frames, seed=4)
+    cfg = cfg._replace(max_factors=20)  # far fewer than observations
+    state = ingest_all(cfg, obs, frames)
+    assert int(state.f_count) <= 20
+    state, cost = batch_optimize(cfg, state, iters=5)
+    assert np.isfinite(float(cost))
+
+
+def test_landmark_covariances_sane():
+    frames = 30
+    cfg, _, _, obs = build_problem(frames, noise_t=0.01, seed=5)
+    state = ingest_all(cfg, obs, frames)
+    state, _ = batch_optimize(cfg, state, iters=15)
+    cov = np.asarray(landmark_covariances(cfg, state))
+    active = np.asarray(state.lm_active)
+    diag = np.diagonal(cov, axis1=-2, axis2=-1)
+    assert (diag[active] > 0).all()
+    # well-observed landmarks should be much more certain than the
+    # (identity-regularized) inactive slots
+    assert diag[active].max() < 0.5
+
+
+def test_float32_batch():
+    frames = 40
+    cfg, scene, traj, obs = build_problem(
+        frames, noise_t=0.01, seed=6, dtype=jnp.float32, **TUNED)
+    state = ingest_all(cfg, obs, frames)
+    state, cost = batch_optimize(cfg, state, iters=30)
+    assert np.isfinite(float(cost))
+    err = ate.ate_rmse(est_traj(state, frames), traj.cam_t[:frames])
+    assert err < 0.05, f"ATE {err}"
+
+
+def test_reference_noise_defaults():
+    """The reference's noise model (zero-motion odometry sigma 0.1 m)
+    biases the MAP solution toward under-estimating motion; verify the
+    solver still converges finitely there (behavior envelope)."""
+    frames = 50
+    cfg, _, traj, obs = build_problem(frames, noise_t=0.005, seed=7)
+    state = ingest_all(cfg, obs, frames)
+    state, cost = batch_optimize(cfg, state, iters=30)
+    assert np.isfinite(float(cost))
+    err = ate.ate_rmse(est_traj(state, frames), traj.cam_t[:frames])
+    assert err < 0.6, f"ATE {err}"
