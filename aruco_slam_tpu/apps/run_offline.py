@@ -1,0 +1,85 @@
+"""Offline two-pass SLAM driver (batch smoothing).
+
+TPU-native equivalent of the reference's main/run_offline.py: pass 1
+ingests every frame into the factor graph, then a full-batch LM solve
+smooths the whole trajectory; pass 2 replays for outputs using the
+smoothed per-iteration estimates (reference main/run_offline.py:86-142,
+filters/factor_graph.py:327-345).
+
+    python -m aruco_slam_tpu.apps.run_offline --input seq.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from aruco_slam_tpu.config import SlamAppConfig
+from aruco_slam_tpu.graph import (
+    GraphConfig, add_frame, batch_optimize, init_graph,
+    landmark_covariances)
+from aruco_slam_tpu.io import TrajectoryWriter, save_map
+from aruco_slam_tpu.io.sources import NpzSource
+from aruco_slam_tpu.apps.run_slam import load_observations
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="Offline two-pass marker SLAM (batch smoothing)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override (cpu | axon | tpu)")
+    p.add_argument("--trajectory", default="outputs/trajectory.txt")
+    p.add_argument("--map", dest="map_file", default="outputs/map.txt")
+    p.add_argument("--iters", type=int, default=50)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = SlamAppConfig(input=args.input,
+                        trajectory_file=args.trajectory,
+                        map_file=args.map_file, batch_iters=args.iters)
+    src = NpzSource(cfg.input)
+    times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
+
+    t = len(times)
+    gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
+                       max_factors=int(mask.sum()) + 8)
+    state = init_graph(gcfg)
+    t0 = time.perf_counter()
+    for i in range(t):  # pass 1: ingest
+        state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
+                          jnp.asarray(mask[i]))
+    state, cost = batch_optimize(gcfg, state, iters=cfg.batch_iters)
+    dt = time.perf_counter() - t0
+    print(f"batch solve: {t} poses, {int(state.f_count)} factors, "
+          f"{cfg.batch_iters} LM iters in {dt:.2f}s "
+          f"(final cost {float(cost):.3f})")
+
+    # pass 2: emit smoothed estimates per iteration
+    with TrajectoryWriter(cfg.trajectory_file) as w:
+        for i in range(t):
+            pose = np.concatenate([np.asarray(state.pose_t[i]),
+                                   np.asarray(state.pose_q[i])])
+            w.write(float(times[i]), pose)
+
+    active = np.asarray(state.lm_active)
+    ids = np.where(active)[0]
+    cov = np.asarray(landmark_covariances(gcfg, state))
+    unc = np.diagonal(cov, axis1=-2, axis2=-1)
+    save_map(cfg.map_file, ids, np.asarray(state.lm)[ids], unc[ids])
+    print(f"wrote {cfg.trajectory_file} ({t} poses), "
+          f"{cfg.map_file} ({len(ids)} landmarks)")
+    if src.has("gt_cam_t"):
+        from aruco_slam_tpu.bench import ate
+        est = np.asarray(state.pose_t)[:t]
+        print(f"ATE vs ground truth: "
+              f"{ate.ate_rmse(est, src['gt_cam_t']):.4f} m")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Online SLAM driver.
+
+TPU-native equivalent of the reference's main/run_slam.py: per-frame
+marker observation → filter update → trajectory/map/viz outputs.
+
+    python -m aruco_slam_tpu.apps.run_slam --input seq.npz \
+        --filter {mekf,mekf_rotations,factorgraph} [--viz-2d --viz-3d]
+
+Input: an .npz sequence (see apps/make_synthetic.py). If the bundle
+carries pixel `corners` they are pushed through the batched IPPE PnP
+on device (the path the reference runs per marker through
+cv2.solvePnP, reference filters/base_filter.py:125-171); otherwise
+pose-level observations (`t_cl`/`q_cl`/`mask`) are used directly.
+
+Fast path: without viz, the MEKF filters the WHOLE sequence with one
+fused `lax.scan` on device; per-frame Python looping only happens when
+per-frame rendering was requested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from aruco_slam_tpu.config import SlamAppConfig
+from aruco_slam_tpu.core import camera as cam_mod
+from aruco_slam_tpu.filters import (
+    FrameObservations, MekfConfig, init_state, mekf_scan, mekf_step)
+from aruco_slam_tpu.filters import mekf as mekf_mod
+from aruco_slam_tpu.graph import (
+    GraphConfig, add_frame, init_graph, landmark_covariances,
+    optimize_window)
+from aruco_slam_tpu.io import TrajectoryWriter, save_map
+from aruco_slam_tpu.io.sources import NpzSource
+from aruco_slam_tpu.ops import pnp
+
+
+def load_observations(src: NpzSource, cfg: SlamAppConfig):
+    """Return (times, t_cl (T,C,3), q_cl (T,C,4), mask (T,C), cam)."""
+    k = src["camera_matrix"] if src.has("camera_matrix") \
+        else cfg.camera_matrix
+    d = src["dist_coeffs"] if src.has("dist_coeffs") else cfg.dist_coeffs
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k), jnp.asarray(d))
+    marker_size = float(src["marker_size"]) if src.has("marker_size") \
+        else cfg.marker_size
+    if src.has("corners"):
+        res = pnp.solve_square_pnp(
+            cam, jnp.asarray(src["corners"]), marker_size)
+        mask = jnp.asarray(src["corner_mask"]) \
+            & (res.err < cfg.max_reproj_px)
+        return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
+                np.asarray(mask), cam)
+    if src.has("t_cl"):
+        return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam)
+    raise ValueError(
+        f"{src.path}: no 'corners' or 't_cl' observations "
+        "(image-domain detection input requires 'images'; see "
+        "apps docs)")
+
+
+def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
+             with_rotations: bool, viewers=()):
+    fcfg = MekfConfig(capacity=t_cl.shape[1],
+                      with_rotations=with_rotations)
+    state = init_state(fcfg)
+    seq = FrameObservations(jnp.asarray(t_cl), jnp.asarray(q_cl),
+                            jnp.asarray(mask))
+    if not viewers:
+        t0 = time.perf_counter()
+        state, cam_traj = mekf_scan(fcfg, state, seq)
+        cam_traj = np.asarray(cam_traj)
+        dt = time.perf_counter() - t0
+        print(f"fused scan: {len(times)} frames in {dt:.3f}s "
+              f"({len(times) / dt:.1f} fps)")
+    else:
+        cam_traj = np.zeros((len(times), 7))
+        for i in range(len(times)):
+            state = mekf_step(fcfg, state, FrameObservations(
+                seq.t_cl[i], seq.q_cl[i], seq.mask[i]))
+            cam_traj[i] = np.asarray(mekf_mod.camera_pose(state))
+            _feed_viewers(viewers, cam_traj[i], state.lm,
+                          state.active, t_cl[i], q_cl[i], mask[i])
+    unc = np.asarray(mekf_mod.landmark_uncertainties(fcfg, state))
+    active = np.asarray(state.active)
+    lm = np.asarray(state.lm)[:, :3]
+    return cam_traj, active, lm, unc[:, :3]
+
+
+def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
+                    viewers=()):
+    t = len(times)
+    gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
+                       max_factors=int(mask.sum()) + 8)
+    state = init_graph(gcfg)
+    cam_traj = np.zeros((t, 7))
+    for i in range(t):
+        state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
+                          jnp.asarray(mask[i]))
+        state, _ = optimize_window(gcfg, state, window=cfg.window,
+                                   iters=cfg.window_iters)
+        cam_traj[i, :3] = np.asarray(state.pose_t[i])
+        cam_traj[i, 3:7] = np.asarray(state.pose_q[i])
+        if viewers:
+            _feed_viewers(viewers, cam_traj[i], state.lm,
+                          state.lm_active, t_cl[i], q_cl[i], mask[i])
+    cov = np.asarray(landmark_covariances(gcfg, state))
+    unc = np.diagonal(cov, axis1=-2, axis2=-1)
+    return cam_traj, np.asarray(state.lm_active), \
+        np.asarray(state.lm), unc
+
+
+def _feed_viewers(viewers, cam_pose, lm, active, t_cl, q_cl, mask):
+    act = np.asarray(active)
+    pts = np.asarray(lm)[:, :3][act]
+    det = [(t_cl[j], q_cl[j]) for j in np.where(np.asarray(mask))[0]]
+    for v in viewers:
+        v.view_frame(cam_pose, pts, det)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="TPU-native marker SLAM")
+    p.add_argument("--input", required=True, help=".npz sequence")
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override (cpu | axon | tpu); the "
+                        "environment may pin a tunneled TPU that is slow "
+                        "for small interactive runs")
+    p.add_argument("--filter", default="mekf",
+                   choices=["mekf", "mekf_rotations", "factorgraph"])
+    p.add_argument("--trajectory", default="outputs/trajectory.txt")
+    p.add_argument("--map", dest="map_file", default="outputs/map.txt")
+    p.add_argument("--viz-2d", action="store_true")
+    p.add_argument("--viz-3d", action="store_true")
+    p.add_argument("--viz-dir", default="outputs/images")
+    p.add_argument("--window", type=int, default=8)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = SlamAppConfig(
+        input=args.input, filter=args.filter,
+        trajectory_file=args.trajectory, map_file=args.map_file,
+        viz_2d=args.viz_2d, viz_3d=args.viz_3d, viz_dir=args.viz_dir,
+        window=args.window)
+    src = NpzSource(cfg.input)
+    times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
+
+    viewers = []
+    if cfg.viz_3d:
+        from aruco_slam_tpu.viz import Viewer3D
+
+        v3 = Viewer3D(export_dir=f"{cfg.viz_dir}/3d")
+
+        class V3:  # adapter: world-frame detections like the reference
+            def view_frame(self, cam_pose, pts, det):
+                from aruco_slam_tpu.core import quaternion as q_np
+                r = np.asarray(q_np.to_matrix(jnp.asarray(cam_pose[3:7])))
+                dw = np.asarray(
+                    [r @ np.asarray(t) + cam_pose[:3] for t, _ in det])
+                v3.view(cam_pose, pts, dw)
+
+            def close(self):
+                v3.close()
+
+        viewers.append(V3())
+    if cfg.viz_2d:
+        from aruco_slam_tpu.viz import Viewer2D
+
+        v2 = Viewer2D(cam, export_dir=f"{cfg.viz_dir}/2d")
+        blank = np.zeros((1080, 1920), np.uint8)
+
+        class V2:
+            def view_frame(self, cam_pose, pts, det):
+                v2.view(blank, cam_pose, pts, det)
+
+            def close(self):
+                v2.close()
+
+        viewers.append(V2())
+
+    if cfg.filter in ("mekf", "mekf_rotations"):
+        cam_traj, active, lm, unc = run_mekf(
+            cfg, times, t_cl, q_cl, mask, cam,
+            with_rotations=(cfg.filter == "mekf_rotations"),
+            viewers=viewers)
+    else:
+        cam_traj, active, lm, unc = run_factorgraph(
+            cfg, times, t_cl, q_cl, mask, cam, viewers=viewers)
+
+    for v in viewers:
+        v.close()
+
+    with TrajectoryWriter(cfg.trajectory_file) as w:
+        for ts, pose in zip(times, cam_traj):
+            w.write(float(ts), pose)
+    ids = np.where(active)[0]
+    save_map(cfg.map_file, ids, lm[ids], unc[ids])
+    print(f"wrote {cfg.trajectory_file} ({len(times)} poses), "
+          f"{cfg.map_file} ({len(ids)} landmarks)")
+    if src.has("gt_cam_t"):
+        from aruco_slam_tpu.bench import ate
+        err = ate.ate_rmse(cam_traj[:, :3], src["gt_cam_t"])
+        print(f"ATE vs ground truth: {err:.4f} m")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""IO round-trips and end-to-end CLI app smoke tests."""
+
+import numpy as np
+import pytest
+
+from aruco_slam_tpu.io import TrajectoryWriter, load_map, read_trajectory, save_map
+from aruco_slam_tpu.io.trajectory import write_trajectory
+from aruco_slam_tpu.io.sources import NpzSource, save_npz
+
+
+def test_trajectory_roundtrip(tmp_path):
+    f = tmp_path / "traj.txt"
+    times = np.array([0.0, 0.0333, 0.0667])
+    poses = np.array([
+        [0, 0, 0, 1, 0, 0, 0],
+        [0.1, 0.2, 0.3, 0.9238795, 0.3826834, 0, 0],
+        [0.2, 0.1, 0.0, 0.7071068, 0, 0.7071068, 0],
+    ])
+    write_trajectory(f, times, poses)
+    t2, p2 = read_trajectory(f)
+    np.testing.assert_allclose(t2, times, atol=1e-4)
+    np.testing.assert_allclose(p2, poses, atol=1e-6)
+
+
+def test_trajectory_tum_order(tmp_path):
+    """First data line of the identity pose must be true TUM
+    (qx qy qz qw = 0 0 0 1) — NOT the reference's scalar-first bug
+    (reference outputs/trajectory_writer.py:37-39)."""
+    f = tmp_path / "traj.txt"
+    with TrajectoryWriter(f) as w:
+        w.write(0.0, np.array([0, 0, 0, 1.0, 0, 0, 0]))
+    line = [ln for ln in f.read_text().splitlines()
+            if not ln.startswith("#")][0]
+    vals = [float(v) for v in line.split()]
+    assert vals[4:8] == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_trajectory_reference_compat_mode(tmp_path):
+    f = tmp_path / "traj.txt"
+    with TrajectoryWriter(f, scalar_first=True) as w:
+        w.write(0.0, np.array([0, 0, 0, 1.0, 0, 0, 0]))
+    line = [ln for ln in f.read_text().splitlines()
+            if not ln.startswith("#")][0]
+    vals = [float(v) for v in line.split()]
+    assert vals[4:8] == [1.0, 0.0, 0.0, 0.0]  # reference layout
+
+
+def test_map_roundtrip(tmp_path):
+    f = tmp_path / "map.txt"
+    ids = np.array([3, 7, 12])
+    pos = np.array([[0.1, 0.2, 2.0], [1.0, -0.5, 3.0], [0, 0, 1.0]])
+    unc = np.array([[0.3, 0.3, 0.4], [1.1, 2.2, 3.3], [0.7, 0.7, 0.7]])
+    save_map(f, ids, pos, unc)
+    i2, p2, u2 = load_map(f)
+    np.testing.assert_array_equal(i2, ids)
+    np.testing.assert_allclose(p2, pos)
+    np.testing.assert_allclose(u2, unc)
+
+
+def test_npz_source_roundtrip(tmp_path):
+    f = tmp_path / "seq.npz"
+    save_npz(f, times=np.arange(5) / 30.0,
+             t_cl=np.zeros((5, 4, 3)), mask=np.zeros((5, 4), bool))
+    src = NpzSource(f)
+    assert len(src) == 5
+    assert src.has("t_cl") and not src.has("corners")
+
+
+def test_npz_source_requires_times(tmp_path):
+    f = tmp_path / "bad.npz"
+    save_npz(f, t_cl=np.zeros((5, 4, 3)))
+    with pytest.raises(ValueError, match="times"):
+        NpzSource(f)
+
+
+@pytest.fixture(scope="module")
+def seq_file(tmp_path_factory):
+    from aruco_slam_tpu.apps import make_synthetic
+    path = tmp_path_factory.mktemp("seq") / "seq.npz"
+    make_synthetic.main(["--out", str(path), "--frames", "40",
+                         "--markers", "8", "--noise-px", "0.3"])
+    return path
+
+
+@pytest.mark.parametrize("filt", ["mekf", "mekf_rotations", "factorgraph"])
+def test_run_slam_end_to_end(seq_file, tmp_path, filt):
+    from aruco_slam_tpu.apps import run_slam
+    traj = tmp_path / "traj.txt"
+    mp = tmp_path / "map.txt"
+    run_slam.main(["--input", str(seq_file), "--filter", filt,
+                   "--trajectory", str(traj), "--map", str(mp)])
+    times, poses = read_trajectory(traj)
+    assert len(times) == 40
+    assert np.isfinite(poses).all()
+    ids, pos, unc = load_map(mp)
+    assert len(ids) >= 1
+    assert np.isfinite(pos).all()
+
+
+def test_run_offline_end_to_end(seq_file, tmp_path):
+    from aruco_slam_tpu.apps import run_offline
+    traj = tmp_path / "traj.txt"
+    mp = tmp_path / "map.txt"
+    run_offline.main(["--input", str(seq_file), "--trajectory",
+                      str(traj), "--map", str(mp), "--iters", "15"])
+    times, poses = read_trajectory(traj)
+    assert len(times) == 40
+    assert np.isfinite(poses).all()
