@@ -190,27 +190,29 @@ def _odom_residual(eps_a, eps_b, qa, ta, qb, tb, sig_rot, sig_t):
     return jnp.concatenate([r_rot, r_t])
 
 
-def _linearize(cfg: GraphConfig, state: GraphState, free_from):
-    """Build the dense Schur-ready normal equations.
+class MeasTerms(NamedTuple):
+    """Measurement-factor contributions to the normal equations — a
+    plain pytree of sums over factors, so partial results computed on
+    factor *shards* combine with `psum` (see parallel/sharded_ba.py)."""
 
-    ``free_from``: first free pose index (int32 scalar). Poses with
-    index < free_from (and the gauge pose 0, and padded poses) are
-    frozen: their Jacobian columns are dropped. Landmarks are always
-    free (matching ISAM2, which keeps landmarks active).
+    diag: jnp.ndarray   # (T, 6, 6) pose diagonal blocks
+    w4: jnp.ndarray     # (T, 6, L, 3) pose-landmark coupling
+    h_ll: jnp.ndarray   # (L, 3, 3) landmark blocks
+    g_p: jnp.ndarray    # (T, 6)
+    g_l: jnp.ndarray    # (L, 3)
+    cost: jnp.ndarray   # ()
 
-    Returns (h_pp, w, h_ll, g_p, g_l, cost):
-      h_pp (T*6, T*6), w (T*6, L*3), h_ll (L, 3, 3), g_p (T*6,),
-      g_l (L*3,), cost ().
-    """
+
+def _meas_terms(cfg: GraphConfig, state: GraphState, pose_free
+                ) -> MeasTerms:
+    """Linearize the measurement factors carried by `state` (all of
+    them, or — under shard_map — this device's shard) into summed
+    normal-equation contributions."""
     dt = cfg.dtype
-    tcap, lcap, fcap = cfg.max_poses, cfg.max_landmarks, cfg.max_factors
+    tcap, lcap = cfg.max_poses, cfg.max_landmarks
     z6 = jnp.zeros(6, dt)
     z3 = jnp.zeros(3, dt)
 
-    pose_free = (jnp.arange(tcap) >= jnp.maximum(free_from, 1)) \
-        & (jnp.arange(tcap) < state.num_poses)
-
-    # --- measurement factors ---
     fq = state.pose_q[state.f_pose]
     ft = state.pose_t[state.f_pose]
     fl = state.lm[state.f_lm]
@@ -227,6 +229,51 @@ def _linearize(cfg: GraphConfig, state: GraphState, free_from):
     jp_m = jnp.where((valid & pose_free[state.f_pose])[:, None, None],
                      jp_m, 0.0)
     jl_m = jnp.where(valid[:, None, None], jl_m, 0.0)
+
+    diag = jnp.zeros((tcap, 6, 6), dt).at[state.f_pose].add(
+        jnp.einsum("fmi,fmj->fij", jp_m, jp_m))
+    w4 = jnp.zeros((tcap, 6, lcap, 3), dt)
+    w4 = w4.at[state.f_pose, :, state.f_lm, :].add(
+        jnp.einsum("fmi,fmj->fij", jp_m, jl_m))
+    h_ll = jnp.zeros((lcap, 3, 3), dt).at[state.f_lm].add(
+        jnp.einsum("fmi,fmj->fij", jl_m, jl_m))
+    g_p = jnp.zeros((tcap, 6), dt).at[state.f_pose].add(
+        -jnp.einsum("fmi,fm->fi", jp_m, r_m))
+    g_l = jnp.zeros((lcap, 3), dt).at[state.f_lm].add(
+        -jnp.einsum("fmi,fm->fi", jl_m, r_m))
+    return MeasTerms(diag=diag, w4=w4, h_ll=h_ll, g_p=g_p, g_l=g_l,
+                     cost=jnp.sum(r_m * r_m))
+
+
+def pose_free_mask(cfg: GraphConfig, state: GraphState, free_from):
+    return (jnp.arange(cfg.max_poses) >= jnp.maximum(free_from, 1)) \
+        & (jnp.arange(cfg.max_poses) < state.num_poses)
+
+
+def _linearize(cfg: GraphConfig, state: GraphState, free_from,
+               meas: MeasTerms | None = None):
+    """Build the dense Schur-ready normal equations.
+
+    ``free_from``: first free pose index (int32 scalar). Poses with
+    index < free_from (and the gauge pose 0, and padded poses) are
+    frozen: their Jacobian columns are dropped. Landmarks are always
+    free (matching ISAM2, which keeps landmarks active).
+
+    ``meas``: pre-summed measurement terms (the distributed path
+    supplies the psum of per-shard `_meas_terms`); computed locally
+    when None.
+
+    Returns (h_pp, w, h_ll, g_p, g_l, cost):
+      h_pp (T*6, T*6), w (T*6, L*3), h_ll (L, 3, 3), g_p (T*6,),
+      g_l (L*3,), cost ().
+    """
+    dt = cfg.dtype
+    tcap, lcap = cfg.max_poses, cfg.max_landmarks
+    z6 = jnp.zeros(6, dt)
+
+    pose_free = pose_free_mask(cfg, state, free_from)
+    if meas is None:
+        meas = _meas_terms(cfg, state, pose_free)
 
     # --- odometry factors between consecutive live poses ---
     idx_a = jnp.arange(1, tcap)             # X_i
@@ -247,14 +294,11 @@ def _linearize(cfg: GraphConfig, state: GraphState, free_from):
     ja_o = jnp.where((o_valid & pose_free[idx_a])[:, None, None], ja_o, 0.0)
     jb_o = jnp.where((o_valid & pose_free[idx_b])[:, None, None], jb_o, 0.0)
 
-    cost = jnp.sum(r_m * r_m) + jnp.sum(r_o * r_o)
+    cost = meas.cost + jnp.sum(r_o * r_o)
 
-    # --- assemble normal equations ---
-    # pose-pose: diag blocks from meas + odom self terms, off-diag from
-    # odom cross terms. Scatter-add into (T, 6, T, 6) then reshape.
+    # --- assemble the dense pose-pose system ---
     h4 = jnp.zeros((tcap, 6, tcap, 6), dt)
-    diag_m = jnp.einsum("fmi,fmj->fij", jp_m, jp_m)
-    h4 = h4.at[state.f_pose, :, state.f_pose, :].add(diag_m)
+    h4 = h4.at[jnp.arange(tcap), :, jnp.arange(tcap), :].add(meas.diag)
     h4 = h4.at[idx_a, :, idx_a, :].add(
         jnp.einsum("fmi,fmj->fij", ja_o, ja_o))
     h4 = h4.at[idx_b, :, idx_b, :].add(
@@ -269,28 +313,16 @@ def _linearize(cfg: GraphConfig, state: GraphState, free_from):
         jnp.where(frozen[:, None, None], jnp.eye(6, dtype=dt), 0.0))
     h_pp = h4.reshape(tcap * 6, tcap * 6)
 
-    # pose-landmark coupling W and landmark blocks
-    w4 = jnp.zeros((tcap, 6, lcap, 3), dt)
-    w4 = w4.at[state.f_pose, :, state.f_lm, :].add(
-        jnp.einsum("fmi,fmj->fij", jp_m, jl_m))
-    w = w4.reshape(tcap * 6, lcap * 3)
-
-    h_ll = jnp.zeros((lcap, 3, 3), dt)
-    h_ll = h_ll.at[state.f_lm].add(
-        jnp.einsum("fmi,fmj->fij", jl_m, jl_m))
+    w = meas.w4.reshape(tcap * 6, lcap * 3)
     # inactive landmarks: identity so the block inverse is well defined
-    h_ll = h_ll + jnp.where(
+    h_ll = meas.h_ll + jnp.where(
         state.lm_active[:, None, None], 0.0, 1.0) * jnp.eye(3, dtype=dt)
 
-    g_p = jnp.zeros((tcap, 6), dt)
-    g_p = g_p.at[state.f_pose].add(-jnp.einsum("fmi,fm->fi", jp_m, r_m))
+    g_p = meas.g_p
     g_p = g_p.at[idx_a].add(-jnp.einsum("fmi,fm->fi", ja_o, r_o))
     g_p = g_p.at[idx_b].add(-jnp.einsum("fmi,fm->fi", jb_o, r_o))
     g_p = g_p.reshape(tcap * 6)
-
-    g_l = jnp.zeros((lcap, 3), dt)
-    g_l = g_l.at[state.f_lm].add(-jnp.einsum("fmi,fm->fi", jl_m, r_m))
-    g_l = g_l.reshape(lcap * 3)
+    g_l = meas.g_l.reshape(lcap * 3)
 
     return h_pp, w, h_ll, g_p, g_l, cost
 

@@ -1,0 +1,46 @@
+"""Batched parallel SLAM over many sequences (data parallel).
+
+BASELINE.json config 5: "batched parallel SLAM over many videos +
+500-marker synthetic map". Independent sequences are pure data
+parallelism: the fused MEKF scan is vmapped over a leading sequence
+axis and the batch is sharded over the mesh — XLA runs each shard on
+its device with zero cross-device traffic during filtering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aruco_slam_tpu.filters import (
+    FrameObservations, MekfConfig, MekfState, mekf_scan)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _vmapped_scan(cfg: MekfConfig, states: MekfState,
+                  obs: FrameObservations):
+    return jax.vmap(lambda s, o: mekf_scan(cfg, s, o))(states, obs)
+
+
+def batched_mekf_scan(cfg: MekfConfig, states: MekfState,
+                      obs: FrameObservations, mesh: Mesh | None = None,
+                      axis: str | None = None):
+    """Run S independent MEKF sequences at once.
+
+    ``states``: MekfState with leading axis S (stack of init_state
+    results); ``obs``: FrameObservations with leading axes (S, T, ...).
+    With a mesh, the S axis is sharded across devices.
+    Returns (final states (S, ...), trajectories (S, T, 7)).
+    """
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
+        states = jax.device_put(states, shard)
+        obs = jax.device_put(obs, shard)
+    return _vmapped_scan(cfg, states, obs)
+
+
+def stack_states(states: list[MekfState]) -> MekfState:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

@@ -1,0 +1,92 @@
+"""Headline benchmark: fused marker-SLAM frame pipeline, fps per chip.
+
+Runs the flagship path — batched IPPE-square PnP from pixel corners +
+the fused MEKF update — over a synthetic sequence with one `lax.scan`
+per chunk on the default device (the real TPU under the driver), and
+prints ONE JSON line:
+
+    {"metric": "mekf_pipeline_fps_per_chip", "value": ..., "unit":
+     "frames/s", "vs_baseline": ...}
+
+vs_baseline is the speedup over the measured reference-EKF CPU rate at
+the same observation boundary (45.1 fps @ 8 visible markers of a
+64-marker map — see BASELINE_MEASURED.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 45.1  # measured; BASELINE_MEASURED.md
+
+FRAMES = 512
+CAPACITY = 64
+MARKERS = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.bench import synthetic
+    from aruco_slam_tpu.core import camera as cam_mod
+    from aruco_slam_tpu.filters import (
+        FrameObservations, MekfConfig, init_state, mekf_step)
+    from aruco_slam_tpu.ops import pnp
+
+    k = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3],
+                  [0.0, 0.0, 1.0]])
+    d = np.array([0.0614, -0.2951, 0.0005, 0.0029, 0.4387])
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k, jnp.float32),
+                                          jnp.asarray(d, jnp.float32))
+    scene = synthetic.make_wall_scene(num_markers=MARKERS, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=FRAMES)
+    corners, mask = synthetic.observe_corners(
+        scene, traj, cam, CAPACITY, noise_px=0.3, seed=1)
+
+    fcfg = MekfConfig(capacity=CAPACITY)
+    state0 = init_state(fcfg)
+    corners_d = jnp.asarray(corners, jnp.float32)
+    mask_d = jnp.asarray(mask)
+    marker_size = scene.marker_size
+
+    @jax.jit
+    def pipeline(state, corners_seq, mask_seq):
+        """detect-output corners -> PnP -> MEKF, scanned over frames."""
+
+        def frame(carry, inp):
+            crn, msk = inp
+            res = pnp.solve_square_pnp(cam, crn, marker_size)
+            obs = FrameObservations(
+                t_cl=res.t_cl, q_cl=res.q_cl,
+                mask=msk & (res.err < 3.0))
+            nxt = mekf_step(fcfg, carry, obs)
+            return nxt, jnp.concatenate([nxt.cam_t, nxt.cam_q])
+
+        return jax.lax.scan(frame, state, (corners_seq, mask_seq))
+
+    # compile + warm up
+    final, traj_out = pipeline(state0, corners_d, mask_d)
+    jax.block_until_ready(traj_out)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        final, traj_out = pipeline(state0, corners_d, mask_d)
+    jax.block_until_ready(traj_out)
+    dt = (time.perf_counter() - t0) / reps
+    fps = FRAMES / dt
+
+    print(json.dumps({
+        "metric": "mekf_pipeline_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
