@@ -46,6 +46,15 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
     cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k), jnp.asarray(d))
     marker_size = float(src["marker_size"]) if src.has("marker_size") \
         else cfg.marker_size
+    if src.has("images"):
+        from aruco_slam_tpu.ops import detect
+        dcfg = detect.DetectorConfig(capacity=cfg.capacity)
+        det = detect.detect_markers_batch(
+            jnp.asarray(src["images"]), dcfg)
+        res = pnp.solve_square_pnp(cam, det.corners, marker_size)
+        mask = det.mask & (res.err < cfg.max_reproj_px)
+        return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
+                np.asarray(mask), cam)
     if src.has("corners"):
         res = pnp.solve_square_pnp(
             cam, jnp.asarray(src["corners"]), marker_size)
@@ -56,9 +65,7 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
     if src.has("t_cl"):
         return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam)
     raise ValueError(
-        f"{src.path}: no 'corners' or 't_cl' observations "
-        "(image-domain detection input requires 'images'; see "
-        "apps docs)")
+        f"{src.path}: no 'images', 'corners', or 't_cl' observations")
 
 
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,

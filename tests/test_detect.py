@@ -1,0 +1,155 @@
+"""Image-domain detector vs rendered ground truth and cv2 oracle."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aruco_slam_tpu.bench import synthetic, render
+from aruco_slam_tpu.core import camera as cam_mod
+from aruco_slam_tpu.ops import detect
+
+K2 = np.array([[707.45, 0.0, 483.5], [0.0, 707.45, 272.15],
+               [0.0, 0.0, 1.0]])  # half-res reference intrinsics
+DIST = np.array([0.0614, -0.2951, 0.0005, 0.0029, 0.4387])
+SIZE = (960, 540)
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(K2),
+                                          jnp.asarray(DIST))
+    scene = synthetic.make_wall_scene(num_markers=10, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=30)
+    frames = render.render_sequence(scene, traj, cam, image_size=SIZE)
+    corners, mask = synthetic.observe_corners(
+        scene, traj, cam, 64, image_size=SIZE)
+    return cam, scene, traj, frames, corners, mask
+
+
+CFG = detect.DetectorConfig()
+
+
+def test_detects_expected_ids(rendered):
+    cam, scene, traj, frames, corners, mask = rendered
+    for f in range(0, len(frames), 5):
+        det = detect.detect_markers(jnp.asarray(frames[f]), CFG)
+        got = set(np.where(np.asarray(det.mask))[0].tolist())
+        expected = set(np.where(mask[f])[0].tolist())
+        # expected-visible markers can be grazing/small; require
+        # recall on all but at most one, and no false ids
+        assert len(expected - got) <= 1, (f, expected, got)
+        assert got <= expected, (f, expected, got)
+
+
+def test_corner_accuracy(rendered):
+    cam, scene, traj, frames, corners, mask = rendered
+    errs = []
+    for f in range(0, len(frames), 5):
+        det = detect.detect_markers(jnp.asarray(frames[f]), CFG)
+        for sid in np.where(np.asarray(det.mask))[0]:
+            errs.append(np.abs(np.asarray(det.corners[sid])
+                               - corners[f][sid]).max())
+    assert len(errs) >= 20
+    assert np.max(errs) < 1.5, np.max(errs)
+    assert np.mean(errs) < 0.9, np.mean(errs)
+
+
+def test_matches_cv2_detections(rendered):
+    cam, scene, traj, frames, corners, mask = rendered
+    p = cv2.aruco.DetectorParameters()
+    cvdet = cv2.aruco.ArucoDetector(
+        cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_5X5_50), p)
+    for f in range(0, len(frames), 5):
+        det = detect.detect_markers(jnp.asarray(frames[f]), CFG)
+        ours = set(np.where(np.asarray(det.mask))[0].tolist())
+        cr, ids, _ = cvdet.detectMarkers(frames[f])
+        theirs = set(ids.ravel().tolist()) if ids is not None else set()
+        assert ours == theirs, (f, ours, theirs)
+
+
+def test_corner_order_matches_cv2(rendered):
+    """Corner 0 must be the marker's canonical top-left (IPPE order)."""
+    cam, scene, traj, frames, corners, mask = rendered
+    cvdet = cv2.aruco.ArucoDetector(
+        cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_5X5_50),
+        cv2.aruco.DetectorParameters())
+    det = detect.detect_markers(jnp.asarray(frames[0]), CFG)
+    cr, ids, _ = cvdet.detectMarkers(frames[0])
+    for i, sid in enumerate(ids.ravel()):
+        if not det.mask[sid]:
+            continue
+        ours = np.asarray(det.corners[sid])
+        theirs = cr[i].reshape(4, 2)
+        # same corner order => pointwise distance small
+        assert np.abs(ours - theirs).max() < 2.5, (sid, ours, theirs)
+
+
+def test_empty_image():
+    blank = jnp.full((540, 960), 178, jnp.uint8)
+    det = detect.detect_markers(blank, CFG)
+    assert not np.asarray(det.mask).any()
+
+
+def test_noise_image_no_false_positives():
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 255, size=(540, 960), dtype=np.uint8)
+    det = detect.detect_markers(jnp.asarray(noise), CFG)
+    assert np.asarray(det.mask).sum() == 0
+
+
+def test_batch_detection(rendered):
+    cam, scene, traj, frames, corners, mask = rendered
+    det = detect.detect_markers_batch(jnp.asarray(frames[:3]), CFG)
+    assert det.corners.shape == (3, 64, 4, 2)
+    single = detect.detect_markers(jnp.asarray(frames[1]), CFG)
+    np.testing.assert_array_equal(np.asarray(det.mask[1]),
+                                  np.asarray(single.mask))
+
+
+def test_full_image_pipeline_ate(rendered):
+    """frames -> detect -> PnP -> MEKF: the complete visual loop."""
+    from aruco_slam_tpu.filters import (
+        FrameObservations, MekfConfig, init_state, mekf_scan)
+    from aruco_slam_tpu.ops import pnp
+    from aruco_slam_tpu.bench import ate
+    cam, scene, traj, frames, corners, mask = rendered
+    det = detect.detect_markers_batch(jnp.asarray(frames), CFG)
+    res = pnp.solve_square_pnp(cam, det.corners, scene.marker_size)
+    obs = FrameObservations(
+        t_cl=res.t_cl, q_cl=res.q_cl,
+        mask=det.mask & (res.err < 3.0))
+    fcfg = MekfConfig(capacity=64, r_uncertainty=1e-3,
+                      q_uncertainty_cam=0.05,
+                      q_error_uncertainty_cam=0.05,
+                      q_uncertainty_lm=1e-5)
+    final, cam_traj = mekf_scan(fcfg, init_state(fcfg), obs)
+    err = ate.ate_rmse(np.asarray(cam_traj[:, :3]), traj.cam_t)
+    # at 960x540 markers are ~35 px wide: PnP depth noise is a few
+    # percent of range, so decimeter-level ATE is the physical floor
+    assert err < 0.3, f"ATE {err}"
+
+
+def test_full_image_pipeline_ba(rendered):
+    """frames -> detect -> PnP -> batch BA: the offline visual loop."""
+    from aruco_slam_tpu.graph import (
+        GraphConfig, add_frame, batch_optimize, init_graph)
+    from aruco_slam_tpu.ops import pnp
+    from aruco_slam_tpu.bench import ate
+    cam, scene, traj, frames, corners, mask = rendered
+    det = detect.detect_markers_batch(jnp.asarray(frames), CFG)
+    res = pnp.solve_square_pnp(cam, det.corners, scene.marker_size)
+    okm = np.asarray(det.mask & (res.err < 3.0))
+    t = len(frames)
+    gcfg = GraphConfig(max_poses=t + 2, max_landmarks=64,
+                       max_factors=int(okm.sum()) + 8,
+                       dtype=jnp.float64, meas_sigma_t=0.03,
+                       odom_sigma_t=1.0, odom_sigma_rot=1.0)
+    state = init_graph(gcfg)
+    tcl = np.asarray(res.t_cl)
+    for i in range(t):
+        state = add_frame(gcfg, state, jnp.asarray(tcl[i]),
+                          jnp.asarray(okm[i]))
+    state, _ = batch_optimize(gcfg, state, iters=30)
+    err = ate.ate_rmse(np.asarray(state.pose_t)[:t], traj.cam_t)
+    assert err < 0.2, f"ATE {err}"
