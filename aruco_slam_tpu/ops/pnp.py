@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from aruco_slam_tpu.core import camera as cam_mod
 from aruco_slam_tpu.core import quaternion as quat
+from aruco_slam_tpu.ops import linalg as small
 
 _EPS = 1e-12
 
@@ -67,7 +68,9 @@ def homography_4pt(obj_xy: jnp.ndarray, img_xy: jnp.ndarray) -> jnp.ndarray:
         [zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=-1)
     a = jnp.concatenate([rows_u, rows_v], axis=0)      # (8, 8)
     b = jnp.concatenate([u, v], axis=0)                # (8,)
-    h = jnp.linalg.solve(a, b)
+    # normal-equation solve with an unrolled 8x8 Cholesky: batches of
+    # tiny LU solves serialize badly on TPU (see ops/linalg.py)
+    h = small.solve_normal(a, b)
     return jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
 
 
@@ -140,9 +143,7 @@ def _solve_translation(r: jnp.ndarray, obj: jnp.ndarray,
     ], axis=0)  # (8, 3)
     b = jnp.concatenate([u * rx[:, 2] - rx[:, 0],
                          v * rx[:, 2] - rx[:, 1]], axis=0)
-    ata = a.T @ a
-    atb = a.T @ b
-    return jnp.linalg.solve(ata, atb)
+    return small.solve_normal(a, b)
 
 
 def _reproj_rms_normalized(r, t, obj, img_xy):
@@ -156,22 +157,41 @@ def _reproj_rms_normalized(r, t, obj, img_xy):
 
 def _gn_refine(r, t, obj, img_xy, iters: int, damping: float = 1e-9):
     """Fixed-iteration damped Gauss-Newton on the normalized-coordinate
-    reprojection residual; parameters are [δθ (left rotvec), δt]."""
+    reprojection residual; parameters are [δθ (left rotvec), δt].
 
-    def residual(xi, r0, t0):
-        rr = quat.to_matrix(quat.from_rotvec(xi[:3])) @ r0
-        tt = t0 + xi[3:]
-        pts = obj @ rr.T + tt
-        z = jnp.maximum(pts[:, 2], 1e-6)
-        return (pts[:, :2] / z[:, None] - img_xy).reshape(-1)
+    Jacobians are analytic — for p = Exp(δθ) R X + (t + δt):
+        ∂π/∂p = [[1/z, 0, −x/z²], [0, 1/z, −y/z²]],
+        ∂p/∂δθ = −[R X]ₓ,   ∂p/∂δt = I
+    — so each iteration is a handful of fused elementwise ops plus an
+    unrolled 6x6 SPD solve (no AD re-evaluation of the projection).
+    """
 
     def body(_, carry):
         r0, t0 = carry
-        xi0 = jnp.zeros(6, r0.dtype)
-        res = residual(xi0, r0, t0)
-        jac = jax.jacfwd(residual)(xi0, r0, t0)  # (8, 6)
+        rx = obj @ r0.T                      # (4, 3)
+        pts = rx + t0
+        z = jnp.maximum(pts[:, 2], 1e-6)
+        inv_z = 1.0 / z
+        proj = pts[:, :2] * inv_z[:, None]
+        res = (proj - img_xy).reshape(-1)    # (8,)
+        # dπ/dp rows per point: (4, 2, 3)
+        zero = jnp.zeros_like(inv_z)
+        dpi = jnp.stack([
+            jnp.stack([inv_z, zero, -proj[:, 0] * inv_z], -1),
+            jnp.stack([zero, inv_z, -proj[:, 1] * inv_z], -1),
+        ], 1)
+        # dp/dδθ = -[rx]ₓ : (4, 3, 3)
+        rx_x, rx_y, rx_z = rx[:, 0], rx[:, 1], rx[:, 2]
+        z4 = jnp.zeros_like(rx_x)
+        skew = jnp.stack([
+            jnp.stack([z4, -rx_z, rx_y], -1),
+            jnp.stack([rx_z, z4, -rx_x], -1),
+            jnp.stack([-rx_y, rx_x, z4], -1),
+        ], 1)
+        j_rot = -jnp.einsum("pij,pjk->pik", dpi, skew)   # (4, 2, 3)
+        jac = jnp.concatenate([j_rot, dpi], -1).reshape(8, 6)
         jtj = jac.T @ jac + damping * jnp.eye(6, dtype=r0.dtype)
-        delta = jnp.linalg.solve(jtj, -(jac.T @ res))
+        delta = small.solve_spd(jtj, -(jac.T @ res))
         r1 = quat.to_matrix(quat.from_rotvec(delta[:3])) @ r0
         t1 = t0 + delta[3:]
         return (r1, t1)
@@ -193,9 +213,13 @@ def solve_square_pnp_normalized(img_xy: jnp.ndarray, marker_size,
     t2 = _solve_translation(r2, obj, img_xy)
     # Refine BOTH ambiguity candidates, then pick by final error:
     # near-degenerate views can put the closed-form winner in the wrong
-    # basin, where Gauss-Newton stalls at a poor local minimum.
-    r1, t1 = _gn_refine(r1, t1, obj, img_xy, refine_iters)
-    r2, t2 = _gn_refine(r2, t2, obj, img_xy, refine_iters)
+    # basin, where Gauss-Newton stalls at a poor local minimum. The two
+    # candidates refine as one stacked batch (halves sequential depth).
+    rs, ts = jax.vmap(
+        lambda rr, tt: _gn_refine(rr, tt, obj, img_xy, refine_iters)
+    )(jnp.stack([r1, r2]), jnp.stack([t1, t2]))
+    r1, t1 = rs[0], ts[0]
+    r2, t2 = rs[1], ts[1]
     e1 = _reproj_rms_normalized(r1, t1, obj, img_xy)
     e2 = _reproj_rms_normalized(r2, t2, obj, img_xy)
     best_first = e1 <= e2

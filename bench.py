@@ -34,7 +34,7 @@ def main() -> None:
     from aruco_slam_tpu.bench import synthetic
     from aruco_slam_tpu.core import camera as cam_mod
     from aruco_slam_tpu.filters import (
-        FrameObservations, MekfConfig, init_state, mekf_step)
+        FrameObservations, MekfConfig, init_state)
     from aruco_slam_tpu.ops import pnp
 
     k = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3],
@@ -53,30 +53,31 @@ def main() -> None:
     mask_d = jnp.asarray(mask)
     marker_size = scene.marker_size
 
+    from aruco_slam_tpu.filters import mekf_scan
+
     @jax.jit
     def pipeline(state, corners_seq, mask_seq):
-        """detect-output corners -> PnP -> MEKF, scanned over frames."""
-
-        def frame(carry, inp):
-            crn, msk = inp
-            res = pnp.solve_square_pnp(cam, crn, marker_size)
-            obs = FrameObservations(
-                t_cl=res.t_cl, q_cl=res.q_cl,
-                mask=msk & (res.err < 3.0))
-            nxt = mekf_step(fcfg, carry, obs)
-            return nxt, jnp.concatenate([nxt.cam_t, nxt.cam_q])
-
-        return jax.lax.scan(frame, state, (corners_seq, mask_seq))
+        """corners -> batched PnP (all frames at once: the solves are
+        frame-independent, so they fill the chip instead of running
+        inside the sequential scan) -> fused MEKF scan."""
+        res = pnp.solve_square_pnp(cam, corners_seq, marker_size)
+        obs = FrameObservations(
+            t_cl=res.t_cl, q_cl=res.q_cl,
+            mask=mask_seq & (res.err < 3.0))
+        return mekf_scan(fcfg, state, obs)
 
     # compile + warm up
     final, traj_out = pipeline(state0, corners_d, mask_d)
     jax.block_until_ready(traj_out)
 
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        final, traj_out = pipeline(state0, corners_d, mask_d)
-    jax.block_until_ready(traj_out)
+    reps = 5
+    for r in range(reps):
+        # distinct inputs per rep: the tunneled executor memoizes
+        # identical calls, which would fake the timing
+        final, traj_out = pipeline(state0, corners_d + (r + 1) * 1e-6,
+                                   mask_d)
+        jax.block_until_ready(traj_out)
     dt = (time.perf_counter() - t0) / reps
     fps = FRAMES / dt
 
