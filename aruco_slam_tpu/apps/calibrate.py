@@ -1,0 +1,79 @@
+"""Camera calibration CLI from marker-board images.
+
+TPU-native counterpart of the reference's calibration tool
+(reference calibration/charuco_calibration.py): detect board markers
+in every view with the image-domain detector, then jointly optimize
+intrinsics + per-view poses, and save the reference-compatible
+artifacts ``camera_matrix.npy`` + ``dist_coeffs.npy``
+(reference filters/base_filter.py:12-13 consumes these).
+
+    python -m aruco_slam_tpu.apps.calibrate --images board_views.npz \
+        --grid 4x3 --marker-size 0.05 --gap 0.015 --out calibration/
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from aruco_slam_tpu.ops import calibrate as cal
+from aruco_slam_tpu.ops import detect, dictionary
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", required=True,
+                   help=".npz with 'images' (V,H,W) uint8, or a "
+                        "directory of image files")
+    p.add_argument("--grid", default="4x3", help="board grid nx x ny")
+    p.add_argument("--marker-size", type=float, default=0.05)
+    p.add_argument("--gap", type=float, default=0.015)
+    p.add_argument("--dict", dest="dict_name",
+                   default=dictionary.DICT_5X5_50)
+    p.add_argument("--out", default="calibration")
+    p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    path = Path(args.images)
+    if path.suffix == ".npz":
+        images = np.load(path)["images"]
+    else:
+        import imageio.v3 as iio
+        files = sorted(path.glob("*.png")) + sorted(path.glob("*.jpg"))
+        imgs = [iio.imread(f) for f in files]
+        images = np.stack([im.mean(-1).astype(np.uint8)
+                           if im.ndim == 3 else im for im in imgs])
+    v, h, w = images.shape
+
+    nx, ny = (int(x) for x in args.grid.split("x"))
+    board = cal.grid_board(nx, ny, args.marker_size, args.gap)
+    m = len(board.ids)
+
+    dcfg = detect.DetectorConfig(dict_name=args.dict_name,
+                                 capacity=max(64, m))
+    det = detect.detect_markers_batch(jnp.asarray(images), dcfg)
+    corners = np.asarray(det.corners)[:, board.ids]   # (V, M, 4, 2)
+    mask = np.asarray(det.mask)[:, board.ids]
+    print(f"{v} views, detections per view: "
+          f"{mask.sum(-1).tolist()}")
+
+    res = cal.calibrate(board, corners, mask, (w, h), iters=args.iters)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "camera_matrix.npy", res.camera_matrix)
+    np.save(out / "dist_coeffs.npy", res.dist_coeffs)
+    print(f"rms {res.rms_px:.3f} px")
+    print("camera matrix:\n", np.round(res.camera_matrix, 2))
+    print("dist:", np.round(res.dist_coeffs, 4))
+    print(f"wrote {out}/camera_matrix.npy, {out}/dist_coeffs.npy")
+
+
+if __name__ == "__main__":
+    main()
