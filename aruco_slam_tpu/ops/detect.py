@@ -51,7 +51,8 @@ class DetectorConfig(NamedTuple):
     thresh_c: float = 7.0         # threshold offset (uint8 counts)
     min_area: int = 16            # component pixels at low res
     max_area_frac: float = 0.05
-    prop_iters: int = 12          # label propagation rounds
+    prop_iters: int = 48          # 3x3 min-flood rounds (see
+                                  # _connected_components)
     subpix_win: int = 6           # half window (13x13)
     subpix_iters: int = 6
     max_hamming: int = 1          # payload correction budget
@@ -83,15 +84,25 @@ def _box_mean(img: jnp.ndarray, win: int) -> jnp.ndarray:
     return (a - b - c + d)[:h, :w] / (win * win)
 
 
-def _connected_components(fg: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """Min-label propagation + pointer jumping. fg: (h, w) bool.
-    Returns int32 labels; background = h*w (BIG)."""
+def _connected_components(fg: jnp.ndarray, iters: int,
+                          jump_iters: int = 2) -> jnp.ndarray:
+    """Connected-component labels by min-label flooding.
+
+    fg: (h, w) bool. Returns int32 labels; background = h*w (BIG).
+
+    `iters` rounds of 3x3 min propagation — pure VPU stencil work, no
+    gathers — flood compact blobs directly (reach = `iters` px at the
+    labeling resolution), then `jump_iters` pointer-jump rounds
+    (label = label[label]) extend the reach multiplicatively for
+    larger/snaky components. Profiling on TPU showed gathers cost
+    ~25x a stencil round, hence the many-stencils-few-jumps split.
+    """
     h, w = fg.shape
     big = h * w
     lin = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
     labels = jnp.where(fg, lin, big)
 
-    def prop(labels):
+    def prop(_, labels):
         p = jnp.pad(labels, 1, constant_values=big)
         stacked = jnp.stack([
             p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:],
@@ -99,18 +110,18 @@ def _connected_components(fg: jnp.ndarray, iters: int) -> jnp.ndarray:
         m = jnp.min(stacked, axis=0)
         return jnp.where(fg, m, big)
 
-    def jump(labels):
+    labels = jax.lax.fori_loop(0, iters, prop, labels)
+
+    def jump(_, labels):
         flat = jnp.concatenate(
             [labels.reshape(-1), jnp.asarray([big], jnp.int32)])
         return jnp.where(fg, flat[labels], big)
 
-    def body(_, labels):
-        labels = prop(labels)
-        labels = jump(labels)
-        labels = jump(labels)
-        return labels
-
-    return jax.lax.fori_loop(0, iters, body, labels)
+    labels = jax.lax.fori_loop(0, jump_iters, jump, labels)
+    # one final stencil after jumping reconciles neighbors that jumped
+    # to different minima of the same component
+    labels = prop(0, labels)
+    return jax.lax.fori_loop(0, jump_iters, jump, labels)
 
 
 def _quad_corners(masks: jnp.ndarray) -> jnp.ndarray:
@@ -199,12 +210,29 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
 def _homography_cells(corners: jnp.ndarray, cells: int) -> jnp.ndarray:
     """Homography from cell-grid coords (x right, y down, origin at
     corner 0) to pixels, per candidate. corners: (K, 4, 2) clockwise.
+
+    Hartley-normalized: the DLT normal equations in raw pixel
+    coordinates (entries ~1e7) destroy an f32 Cholesky on TPU, so the
+    pixel targets are centered/scaled to ~unit size and the similarity
+    is re-applied to the solved homography.
     """
     from aruco_slam_tpu.ops.pnp import homography_4pt
     g = float(cells)
     obj = jnp.asarray([[0.0, 0.0], [g, 0.0], [g, g], [0.0, g]],
                       corners.dtype)
-    return jax.vmap(lambda c: homography_4pt(obj, c))(corners)
+
+    def one(c):
+        center = c.mean(axis=0)
+        scale = jnp.maximum(
+            jnp.abs(c - center).mean(), 1e-3)
+        h_norm = homography_4pt(obj, (c - center) / scale)
+        t = jnp.asarray(
+            [[scale, 0.0, center[0]],
+             [0.0, scale, center[1]],
+             [0.0, 0.0, 1.0]], c.dtype)
+        return t @ h_norm
+
+    return jax.vmap(one)(corners)
 
 
 def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
@@ -233,14 +261,19 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
     ds = cfg.downscale
     k = cfg.max_candidates
 
-    # 1. adaptive threshold (dark = foreground)
-    mean = _box_mean(img, cfg.thresh_win)
-    binary = img < (mean - cfg.thresh_c)
-
-    # 2. downscale (any dark pixel survives) + connected components
+    # 1+2. adaptive threshold fused with the downscale: the full-res
+    # binary is only ever consumed at /ds resolution (corner refinement
+    # and decoding sample the grayscale directly), so threshold there —
+    # "any dark pixel in the block" becomes min-pool(img) against a box
+    # mean of avg-pool(img). This removes the 2-MP integral image that
+    # dominated the profile.
     hl, wl = h // ds, w // ds
-    small = binary[: hl * ds, : wl * ds].reshape(hl, ds, wl, ds)
-    fg = small.any(axis=(1, 3))
+    blocks = img[: hl * ds, : wl * ds].reshape(hl, ds, wl, ds)
+    small_min = blocks.min(axis=(1, 3))
+    small_avg = blocks.mean(axis=(1, 3))
+    win_l = max(3, cfg.thresh_win // ds) | 1  # odd
+    mean = _box_mean(small_avg, win_l)
+    fg = small_min < (mean - cfg.thresh_c)
     labels = _connected_components(fg, cfg.prop_iters)
 
     # 3. component areas -> top-K candidates
