@@ -57,6 +57,8 @@ class DetectorConfig(NamedTuple):
     subpix_iters: int = 6
     max_hamming: int = 1          # payload correction budget
     border_max_white: int = 2     # tolerated white border cells
+    pallas: bool | None = None    # VMEM-resident flood kernel; None =
+                                  # auto (on when running on TPU)
 
 
 class Detections(NamedTuple):
@@ -85,7 +87,8 @@ def _box_mean(img: jnp.ndarray, win: int) -> jnp.ndarray:
 
 
 def _connected_components(fg: jnp.ndarray, iters: int,
-                          jump_iters: int = 2) -> jnp.ndarray:
+                          jump_iters: int = 2,
+                          pallas_mode: str = "off") -> jnp.ndarray:
     """Connected-component labels by min-label flooding.
 
     fg: (h, w) bool. Returns int32 labels; background = h*w (BIG).
@@ -96,11 +99,15 @@ def _connected_components(fg: jnp.ndarray, iters: int,
     (label = label[label]) extend the reach multiplicatively for
     larger/snaky components. Profiling on TPU showed gathers cost
     ~25x a stencil round, hence the many-stencils-few-jumps split.
+
+    pallas_mode: "off" = plain XLA stencil loop; "tpu"/"interpret" =
+    ops/pallas_cc.flood_labels, which keeps the label image resident
+    in VMEM across every round instead of re-materializing a padded
+    copy + 9-plane stack in HBM per round. The pointer jumps stay in
+    XLA either way (gathers are Mosaic-hostile).
     """
     h, w = fg.shape
     big = h * w
-    lin = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
-    labels = jnp.where(fg, lin, big)
 
     def prop(_, labels):
         p = jnp.pad(labels, 1, constant_values=big)
@@ -110,7 +117,14 @@ def _connected_components(fg: jnp.ndarray, iters: int,
         m = jnp.min(stacked, axis=0)
         return jnp.where(fg, m, big)
 
-    labels = jax.lax.fori_loop(0, iters, prop, labels)
+    if pallas_mode != "off":
+        from aruco_slam_tpu.ops import pallas_cc
+        labels = pallas_cc.flood_labels(
+            fg, iters, interpret=(pallas_mode == "interpret"))
+    else:
+        lin = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
+        labels = jnp.where(fg, lin, big)
+        labels = jax.lax.fori_loop(0, iters, prop, labels)
 
     def jump(_, labels):
         flat = jnp.concatenate(
@@ -274,7 +288,12 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
     win_l = max(3, cfg.thresh_win // ds) | 1  # odd
     mean = _box_mean(small_avg, win_l)
     fg = small_min < (mean - cfg.thresh_c)
-    labels = _connected_components(fg, cfg.prop_iters)
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = on_tpu if cfg.pallas is None else cfg.pallas
+    pallas_mode = ("off" if not use_pallas
+                   else ("tpu" if on_tpu else "interpret"))
+    labels = _connected_components(fg, cfg.prop_iters,
+                                   pallas_mode=pallas_mode)
 
     # 3. component areas -> top-K candidates
     big = hl * wl

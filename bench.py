@@ -29,6 +29,11 @@ MARKERS = 8
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the scan+PnP program takes minutes to
+    # build over the tunneled executor; cache it across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from aruco_slam_tpu.bench import synthetic

@@ -153,3 +153,24 @@ def test_full_image_pipeline_ba(rendered):
     state, _ = batch_optimize(gcfg, state, iters=30)
     err = ate.ate_rmse(np.asarray(state.pose_t)[:t], traj.cam_t)
     assert err < 0.2, f"ATE {err}"
+
+
+def test_pallas_flood_matches_xla():
+    """VMEM-resident flood kernel (interpret on CPU) == XLA stencil."""
+    rng = np.random.default_rng(3)
+    for shape in ((48, 64), (130, 100)):
+        fg = jnp.asarray(rng.random(shape) < 0.4)
+        a = detect._connected_components(fg, 10, pallas_mode="off")
+        b = detect._connected_components(fg, 10,
+                                         pallas_mode="interpret")
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_detect_matches_default(rendered):
+    cam, scene, traj, frames, corners, mask = rendered
+    frame = jnp.asarray(frames[5])
+    base = detect.detect_markers(frame, CFG)
+    pal = detect.detect_markers(frame, CFG._replace(pallas=True))
+    assert np.array_equal(np.asarray(base.mask), np.asarray(pal.mask))
+    assert np.allclose(np.asarray(base.corners),
+                       np.asarray(pal.corners), atol=1e-4)
