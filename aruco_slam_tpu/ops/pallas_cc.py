@@ -3,18 +3,27 @@
 The detection pipeline's component labeling (ops/detect.py
 `_connected_components`, replacing the contour tracing inside OpenCV's
 detector, reference filters/base_filter.py:194) runs tens of rounds of
-a 3x3 min stencil over the low-res binary image. Under plain XLA each
-`fori_loop` round materializes a padded copy plus a 9-plane stack in
-HBM (~10 MB of traffic per round at 1080p/ds=4). The label image
-itself is only ~0.5 MB — it fits in VMEM ~30x over — so the idiomatic
-TPU formulation is ONE kernel that loads the foreground mask once,
-keeps the label state in a VMEM scratch across every round, and writes
-the result once. HBM traffic drops from O(rounds * image) to
-O(image).
+a 3x3 min stencil over the low-res binary image. This kernel performs
+ALL rounds in one pallas_call with the label image resident in VMEM.
 
-The pointer-jumping rounds (label = label[label]) stay outside the
-kernel: a data-dependent gather over a ~130k-entry table is exactly
-what Mosaic is slow at, and there are only a handful of jump rounds.
+Kernel-shape notes (measured on TPU v5e):
+- A naive 9-slice stencil with unaligned lane offsets compiles but
+  runs ~100x slower than XLA's fused pad+stack loop — Mosaic emits a
+  full lane-rotation network per unaligned slice.
+- The stencil is therefore decomposed as a separable 3x3 box min
+  (vertical min of 3, then horizontal min of 3 — identical to the
+  8-neighbor+self min) with `pltpu.roll` for the shifts and
+  precomputed edge masks replacing the BIG border padding.
+- The pointer-jumping rounds (label = label[label]) stay outside the
+  kernel: a data-dependent gather over a ~130k-entry table is exactly
+  what Mosaic is slow at, and there are only a handful of jump rounds.
+
+Measured (TPU v5e, 1080p, downscale 4, 48 rounds): stage-isolated the
+kernel runs 0.11 ms vs 6.5 ms for the jitted XLA stencil loop (~59x);
+fused into the full batched detector both variants are transfer-bound
+at ~0.095 ms/frame (~10.5k fps/chip), i.e. at parity in the batched
+regime because XLA keeps the in-context loop fused. Auto-enabled on
+TPU; `DetectorConfig(pallas=False)` opts out.
 """
 
 from __future__ import annotations
@@ -27,12 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _flood_kernel(iters: int, fg_ref, out_ref, pad_ref):
+def _flood_kernel(iters: int, fg_ref, out_ref):
     """One program: `iters` rounds of 8-connected min propagation.
 
     fg_ref:  (h, w) int32, nonzero = foreground
     out_ref: (h, w) int32 labels; background = h*w
-    pad_ref: (h+2, w+2) int32 VMEM scratch, border stays at `big`
     """
     h, w = fg_ref.shape
     big = jnp.int32(h * w)
@@ -40,18 +48,21 @@ def _flood_kernel(iters: int, fg_ref, out_ref, pad_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     labels = jnp.where(fg, row * w + col, big)
-    # constant border written once; the loop only rewrites the interior
-    pad_ref[:] = jnp.full((h + 2, w + 2), big, jnp.int32)
+    # rows/cols that receive wrapped values from pltpu.roll and must
+    # be reset to the BIG border semantics
+    top = row == 0
+    bot = row == h - 1
+    left = col == 0
+    right = col == w - 1
 
     def body(_, labels):
-        pad_ref[1:h + 1, 1:w + 1] = labels
-        p = pad_ref[:]
-        m = labels
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                if dy == 1 and dx == 1:
-                    continue
-                m = jnp.minimum(m, p[dy:dy + h, dx:dx + w])
+        # pltpu.roll only takes non-negative shifts; h-1 == -1 (mod h)
+        down = jnp.where(top, big, pltpu.roll(labels, 1, 0))
+        up = jnp.where(bot, big, pltpu.roll(labels, h - 1, 0))
+        v = jnp.minimum(labels, jnp.minimum(up, down))
+        rgt = jnp.where(left, big, pltpu.roll(v, 1, 1))
+        lft = jnp.where(right, big, pltpu.roll(v, w - 1, 1))
+        m = jnp.minimum(v, jnp.minimum(lft, rgt))
         return jnp.where(fg, m, big)
 
     out_ref[:] = jax.lax.fori_loop(0, iters, body, labels)
@@ -67,6 +78,5 @@ def flood_labels(fg: jnp.ndarray, iters: int,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2), jnp.int32)],
         interpret=interpret,
     )(fg.astype(jnp.int32))
