@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from aruco_slam_tpu.config import SlamAppConfig
 from aruco_slam_tpu.graph import (
     GraphConfig, add_frame, batch_optimize, init_graph,
-    landmark_covariances)
+    landmark_covariances, optimize_window)
 from aruco_slam_tpu.io import TrajectoryWriter, save_map
 from aruco_slam_tpu.io.sources import NpzSource
 from aruco_slam_tpu.apps.run_slam import load_observations
@@ -35,6 +35,11 @@ def main(argv=None) -> None:
     p.add_argument("--trajectory", default="outputs/trajectory.txt")
     p.add_argument("--map", dest="map_file", default="outputs/map.txt")
     p.add_argument("--iters", type=int, default=50)
+    dflt = SlamAppConfig(input="")
+    p.add_argument("--meas-sigma-t", type=float, default=dflt.meas_sigma_t)
+    p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
+    p.add_argument("--odom-sigma-rot", type=float,
+                   default=dflt.odom_sigma_rot)
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -42,18 +47,30 @@ def main(argv=None) -> None:
 
     cfg = SlamAppConfig(input=args.input,
                         trajectory_file=args.trajectory,
-                        map_file=args.map_file, batch_iters=args.iters)
+                        map_file=args.map_file, batch_iters=args.iters,
+                        meas_sigma_t=args.meas_sigma_t,
+                        odom_sigma_t=args.odom_sigma_t,
+                        odom_sigma_rot=args.odom_sigma_rot)
     src = NpzSource(cfg.input)
     times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
 
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
-                       max_factors=int(mask.sum()) + 8)
+                       max_factors=int(mask.sum()) + 8,
+                       meas_sigma_t=cfg.meas_sigma_t,
+                       odom_sigma_t=cfg.odom_sigma_t,
+                       odom_sigma_rot=cfg.odom_sigma_rot)
     state = init_graph(gcfg)
     t0 = time.perf_counter()
-    for i in range(t):  # pass 1: ingest
+    for i in range(t):
+        # pass 1: ingest with a cheap incremental window solve — the
+        # warm start the reference gets from running ISAM2 during its
+        # first pass (reference main/run_offline.py:86-94); batch LM
+        # from the raw zero-motion init stalls far from the optimum
         state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
                           jnp.asarray(mask[i]))
+        state, _ = optimize_window(gcfg, state, window=cfg.window,
+                                   iters=cfg.window_iters)
     state, cost = batch_optimize(gcfg, state, iters=cfg.batch_iters)
     dt = time.perf_counter() - t0
     print(f"batch solve: {t} poses, {int(state.f_count)} factors, "

@@ -71,7 +71,11 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
              with_rotations: bool, viewers=()):
     fcfg = MekfConfig(capacity=t_cl.shape[1],
-                      with_rotations=with_rotations)
+                      with_rotations=with_rotations,
+                      r_uncertainty=cfg.mekf_r,
+                      q_uncertainty_cam=cfg.mekf_q_cam,
+                      q_error_uncertainty_cam=cfg.mekf_q_rot,
+                      q_uncertainty_lm=cfg.mekf_q_lm)
     state = init_state(fcfg)
     seq = FrameObservations(jnp.asarray(t_cl), jnp.asarray(q_cl),
                             jnp.asarray(mask))
@@ -100,7 +104,10 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                     viewers=()):
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
-                       max_factors=int(mask.sum()) + 8)
+                       max_factors=int(mask.sum()) + 8,
+                       meas_sigma_t=cfg.meas_sigma_t,
+                       odom_sigma_t=cfg.odom_sigma_t,
+                       odom_sigma_rot=cfg.odom_sigma_rot)
     state = init_graph(gcfg)
     cam_traj = np.zeros((t, 7))
     for i in range(t):
@@ -142,6 +149,15 @@ def main(argv=None) -> None:
     p.add_argument("--viz-3d", action="store_true")
     p.add_argument("--viz-dir", default="outputs/images")
     p.add_argument("--window", type=int, default=8)
+    dflt = SlamAppConfig(input="")
+    p.add_argument("--meas-sigma-t", type=float, default=dflt.meas_sigma_t)
+    p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
+    p.add_argument("--odom-sigma-rot", type=float,
+                   default=dflt.odom_sigma_rot)
+    p.add_argument("--mekf-r", type=float, default=dflt.mekf_r)
+    p.add_argument("--mekf-q-cam", type=float, default=dflt.mekf_q_cam)
+    p.add_argument("--mekf-q-rot", type=float, default=dflt.mekf_q_rot)
+    p.add_argument("--mekf-q-lm", type=float, default=dflt.mekf_q_lm)
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -151,7 +167,11 @@ def main(argv=None) -> None:
         input=args.input, filter=args.filter,
         trajectory_file=args.trajectory, map_file=args.map_file,
         viz_2d=args.viz_2d, viz_3d=args.viz_3d, viz_dir=args.viz_dir,
-        window=args.window)
+        window=args.window, meas_sigma_t=args.meas_sigma_t,
+        odom_sigma_t=args.odom_sigma_t,
+        odom_sigma_rot=args.odom_sigma_rot,
+        mekf_r=args.mekf_r, mekf_q_cam=args.mekf_q_cam,
+        mekf_q_rot=args.mekf_q_rot, mekf_q_lm=args.mekf_q_lm)
     src = NpzSource(cfg.input)
     times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
 

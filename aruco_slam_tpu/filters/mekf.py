@@ -88,6 +88,10 @@ class MekfConfig(NamedTuple):
     joseph_form: bool = True
     consistent_init: bool = True
     dtype: jnp.dtype = jnp.float32
+    # fused Pallas update kernel (filters/pallas_mekf.py); None = auto
+    # (on when running on TPU and joseph_form is set)
+    pallas_update: bool | None = None
+    ns_iters: int = 20  # Newton–Schulz iterations for S⁻¹ in the kernel
 
     @property
     def lm_dims(self) -> int:
@@ -185,53 +189,23 @@ def _h_pose(eps_c, eps_l, cam_t, cam_q, lm_t, lm_q):
     return jnp.concatenate([xyz_cl, q_cl])
 
 
-# ---------------------------------------------------------------------------
-# The fused per-frame step.
-# ---------------------------------------------------------------------------
+def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
+                        t_cl, q_cl) -> jnp.ndarray:
+    """Consistent covariance augmentation for newly activated landmarks.
 
-@functools.partial(jax.jit, static_argnums=0)
-def mekf_step(cfg: MekfConfig, state: MekfState,
-              obs: FrameObservations) -> MekfState:
-    """One frame: activate new landmarks → predict → update.
+    The new landmark error is a function of the camera error and the
+    measurement noise, so  P ← G P Gᵀ + B R Bᵀ,  with G = I except
+    new-block rows = ∂g/∂(camera error) in the camera columns and
+    B = ∂g/∂(measurement).
 
-    Mirrors the reference's observe() ordering (reference
-    extended_kalman_filter.py:58-82): markers first (so new markers
-    join this frame's update), then covariance inflation, then the
-    Kalman update over all observed markers.
+    Wrapped in `lax.cond` on "any new landmark this frame": the
+    augmentation costs two dense N×N×N products, but after the map is
+    built almost every frame adds nothing — the skip saves ~30% of the
+    per-frame flops in steady state.
     """
-    c, le, md = cfg.capacity, cfg.lm_edims, cfg.meas_dims
-    n = cfg.err_dim
-    dt = cfg.dtype
+    c, le, n, dt = cfg.capacity, cfg.lm_edims, cfg.err_dim, cfg.dtype
 
-    mask = obs.mask
-    # Sanitize masked-off slots: mask-by-multiplication does not stop
-    # NaN/Inf garbage (e.g. a diverged PnP solution that detection
-    # rejected) from propagating, so replace them outright.
-    t_cl = jnp.where(mask[:, None], obs.t_cl.astype(dt), 0.0)
-    ident_q = jnp.zeros_like(obs.q_cl).at[:, 0].set(1.0)
-    q_cl = quat.normalize(
-        jnp.where(mask[:, None], obs.q_cl, ident_q).astype(dt))
-
-    # --- activation: initialize newly seen landmarks in the map frame ---
-    new = mask & ~state.active
-    lm_xyz_init = quat.rotate(state.cam_q[None, :], t_cl) + state.cam_t
-    lm = state.lm.at[:, :3].set(
-        jnp.where(new[:, None], lm_xyz_init, state.lm[:, :3]))
-    if cfg.with_rotations:
-        q_wl_init = quat.normalize(
-            quat.multiply(state.cam_q[None, :], q_cl))
-        lm = lm.at[:, 3:7].set(
-            jnp.where(new[:, None], q_wl_init, lm[:, 3:7]))
-    active = state.active | mask
-
-    lm_new_dims = jnp.repeat(new, le)  # (C*le,)
-    new_dims = jnp.concatenate([jnp.zeros(CAM_EDIMS, bool), lm_new_dims])
-    if cfg.consistent_init:
-        # Consistent augmentation: the new landmark error is a function
-        # of the camera error and the measurement noise, so
-        #   P ← G P Gᵀ + B R Bᵀ,
-        # G = I except new-block rows = ∂g/∂(camera error) in the
-        # camera columns; B = ∂g/∂(measurement).
+    def augment():
         if cfg.with_rotations:
             def g_init(eps_c, z, tcl_j, qcl_j):
                 t = state.cam_t + eps_c[_DT]
@@ -280,7 +254,54 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         eye_c = jnp.eye(c, dtype=dt)
         brb_full = jnp.einsum("jc,jlm->jlcm", eye_c, brb).reshape(
             c * le, c * le)
-        cov = cov.at[CAM_EDIMS:, CAM_EDIMS:].add(brb_full)
+        return cov.at[CAM_EDIMS:, CAM_EDIMS:].add(brb_full)
+
+    return jax.lax.cond(new.any(), augment, lambda: state.cov)
+
+
+# ---------------------------------------------------------------------------
+# The fused per-frame step.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def mekf_step(cfg: MekfConfig, state: MekfState,
+              obs: FrameObservations) -> MekfState:
+    """One frame: activate new landmarks → predict → update.
+
+    Mirrors the reference's observe() ordering (reference
+    extended_kalman_filter.py:58-82): markers first (so new markers
+    join this frame's update), then covariance inflation, then the
+    Kalman update over all observed markers.
+    """
+    c, le, md = cfg.capacity, cfg.lm_edims, cfg.meas_dims
+    n = cfg.err_dim
+    dt = cfg.dtype
+
+    mask = obs.mask
+    # Sanitize masked-off slots: mask-by-multiplication does not stop
+    # NaN/Inf garbage (e.g. a diverged PnP solution that detection
+    # rejected) from propagating, so replace them outright.
+    t_cl = jnp.where(mask[:, None], obs.t_cl.astype(dt), 0.0)
+    ident_q = jnp.zeros_like(obs.q_cl).at[:, 0].set(1.0)
+    q_cl = quat.normalize(
+        jnp.where(mask[:, None], obs.q_cl, ident_q).astype(dt))
+
+    # --- activation: initialize newly seen landmarks in the map frame ---
+    new = mask & ~state.active
+    lm_xyz_init = quat.rotate(state.cam_q[None, :], t_cl) + state.cam_t
+    lm = state.lm.at[:, :3].set(
+        jnp.where(new[:, None], lm_xyz_init, state.lm[:, :3]))
+    if cfg.with_rotations:
+        q_wl_init = quat.normalize(
+            quat.multiply(state.cam_q[None, :], q_cl))
+        lm = lm.at[:, 3:7].set(
+            jnp.where(new[:, None], q_wl_init, lm[:, 3:7]))
+    active = state.active | mask
+
+    lm_new_dims = jnp.repeat(new, le)  # (C*le,)
+    new_dims = jnp.concatenate([jnp.zeros(CAM_EDIMS, bool), lm_new_dims])
+    if cfg.consistent_init:
+        cov = _augment_consistent(cfg, state, new, new_dims, t_cl, q_cl)
     else:
         # Reference-style init: zero cross terms, fixed diagonal
         # (reference extended_kalman_filter.py:276-290).
@@ -289,7 +310,6 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         cov = cov + jnp.diag(
             jnp.where(new_dims, cfg.initial_landmark_uncertainty,
                       0.0).astype(dt))
-
     # --- predict: inflate covariance with process noise (the reference
     # has no state motion model; predict only adds Q, reference
     # extended_kalman_filter.py:95-105) ---
@@ -343,14 +363,24 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     h_mat = jnp.concatenate(
         [h_cam, h_lm.reshape(c * md, c * le)], axis=1)
 
-    # innovation covariance + gain via dense Cholesky
     r_diag = jnp.where(
         jnp.repeat(mask, md), cfg.r_uncertainty, 1.0).astype(dt)
-    ph_t = cov @ h_mat.T                      # (N, C*md)
-    s = h_mat @ ph_t + jnp.diag(r_diag)       # (C*md, C*md)
-    s_fact = cho_factor(s, lower=True)
-    gain = cho_solve(s_fact, ph_t.T).T        # K = P Hᵀ S⁻¹, (N, C*md)
-    innovation = gain @ resid                 # (N,)
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = (on_tpu and cfg.joseph_form) \
+        if cfg.pallas_update is None else cfg.pallas_update
+    if use_pallas and cfg.joseph_form:
+        # fused VMEM-resident kernel: gain + innovation + Joseph update
+        from aruco_slam_tpu.filters import pallas_mekf
+        innovation, new_cov = pallas_mekf.fused_update(
+            cov, h_mat, r_diag, resid, ns_iters=cfg.ns_iters,
+            interpret=not on_tpu)
+    else:
+        # innovation covariance + gain via dense Cholesky
+        ph_t = cov @ h_mat.T                  # (N, C*md)
+        s = h_mat @ ph_t + jnp.diag(r_diag)   # (C*md, C*md)
+        s_fact = cho_factor(s, lower=True)
+        gain = cho_solve(s_fact, ph_t.T).T    # K = P Hᵀ S⁻¹, (N, C*md)
+        innovation = gain @ resid             # (N,)
 
     # state corrections: additive positions, multiplicative quaternions
     cam_t = state.cam_t + innovation[_DT]
@@ -362,13 +392,16 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
             jax.vmap(_perturb)(lm[:, 3:7], lm_inn[:, 3:6]))
         lm = lm.at[:, 3:7].set(lm_q)
 
-    # covariance update
-    i_kh = jnp.eye(n, dtype=dt) - gain @ h_mat
-    if cfg.joseph_form:
-        cov = i_kh @ cov @ i_kh.T + (gain * r_diag[None, :]) @ gain.T
+    # covariance update (the fused kernel already did Joseph in VMEM)
+    if use_pallas and cfg.joseph_form:
+        cov = new_cov
     else:
-        cov = i_kh @ cov  # the reference's form (extended_kalman_filter.py:156)
-    cov = 0.5 * (cov + cov.T)
+        i_kh = jnp.eye(n, dtype=dt) - gain @ h_mat
+        if cfg.joseph_form:
+            cov = i_kh @ cov @ i_kh.T + (gain * r_diag[None, :]) @ gain.T
+        else:
+            cov = i_kh @ cov  # the reference's form (extended_kalman_filter.py:156)
+        cov = 0.5 * (cov + cov.T)
 
     return MekfState(cam_t=cam_t, cam_q=cam_q, lm=lm, cov=cov,
                      active=active)

@@ -157,3 +157,20 @@ def test_scan_matches_step_loop():
         np.asarray(by_scan.cam_t), np.asarray(s.cam_t), atol=1e-12)
     np.testing.assert_allclose(
         np.asarray(by_scan.cov), np.asarray(s.cov), atol=1e-12)
+
+
+def test_pallas_fused_update_matches_cholesky():
+    """Fused Newton–Schulz update kernel (interpret on CPU) tracks the
+    Cholesky path to f32 roundoff over a full sequence."""
+    base = MekfConfig(capacity=16)
+    _, traj, seq = make_obs_seq(base, frames=60, markers=6,
+                                noise_t=0.005, noise_r=0.005)
+    out = {}
+    for pu in (False, True):
+        cfg = base._replace(pallas_update=pu)
+        final, cam_traj = mekf_scan(cfg, init_state(cfg), seq)
+        out[pu] = (np.asarray(cam_traj), np.asarray(final.cov))
+    np.testing.assert_allclose(out[True][0], out[False][0],
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(out[True][1], out[False][1],
+                               atol=5e-3, rtol=5e-3)
