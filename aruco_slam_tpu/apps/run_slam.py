@@ -69,7 +69,7 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
 
 
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
-             with_rotations: bool, viewers=()):
+             with_rotations: bool, viewers=(), load_map_file=None):
     fcfg = MekfConfig(capacity=t_cl.shape[1],
                       with_rotations=with_rotations,
                       r_uncertainty=cfg.mekf_r,
@@ -77,6 +77,11 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                       q_error_uncertainty_cam=cfg.mekf_q_rot,
                       q_uncertainty_lm=cfg.mekf_q_lm)
     state = init_state(fcfg)
+    if load_map_file:
+        from aruco_slam_tpu.io import load_map as _load
+        from aruco_slam_tpu.filters.mekf import preload_map
+        ids, pos, unc = _load(load_map_file)
+        state = preload_map(fcfg, state, ids, pos, unc)
     seq = FrameObservations(jnp.asarray(t_cl), jnp.asarray(q_cl),
                             jnp.asarray(mask))
     if not viewers:
@@ -154,6 +159,9 @@ def main(argv=None) -> None:
     p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
     p.add_argument("--odom-sigma-rot", type=float,
                    default=dflt.odom_sigma_rot)
+    p.add_argument("--load-map", default=None,
+                   help="seed the filter with a saved map (the "
+                        "reference's LOAD_MAP path, fixed + enabled)")
     p.add_argument("--mekf-r", type=float, default=dflt.mekf_r)
     p.add_argument("--mekf-q-cam", type=float, default=dflt.mekf_q_cam)
     p.add_argument("--mekf-q-rot", type=float, default=dflt.mekf_q_rot)
@@ -212,7 +220,7 @@ def main(argv=None) -> None:
         cam_traj, active, lm, unc = run_mekf(
             cfg, times, t_cl, q_cl, mask, cam,
             with_rotations=(cfg.filter == "mekf_rotations"),
-            viewers=viewers)
+            viewers=viewers, load_map_file=args.load_map)
     else:
         cam_traj, active, lm, unc = run_factorgraph(
             cfg, times, t_cl, q_cl, mask, cam, viewers=viewers)

@@ -17,8 +17,10 @@ from aruco_slam_tpu.filters.mekf import (
     MekfConfig,
     MekfState,
     init_state,
+    innovation_gate,
     mekf_scan,
     mekf_step,
+    rotation_consistency_gate,
 )
 
 __all__ = [
@@ -26,6 +28,8 @@ __all__ = [
     "MekfConfig",
     "MekfState",
     "init_state",
+    "innovation_gate",
     "mekf_scan",
     "mekf_step",
+    "rotation_consistency_gate",
 ]

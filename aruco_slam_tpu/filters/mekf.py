@@ -425,6 +425,76 @@ def mekf_scan(cfg: MekfConfig, state: MekfState, obs_seq: FrameObservations
     return jax.lax.scan(step, state, obs_seq)
 
 
+def preload_map(cfg: MekfConfig, state: MekfState, ids, positions,
+                uncertainties=None) -> MekfState:
+    """Activate landmarks from a saved map before filtering — the
+    working equivalent of the reference's load-map path (reference
+    filters/base_filter.py:249-272, which is disabled and crashes on a
+    stale ``self.filter`` attribute; we fix the capability instead of
+    replicating the bug). ``uncertainties`` seeds the per-landmark
+    covariance diagonal; defaults to the config's initial value."""
+    ids = jnp.asarray(ids, jnp.int32)
+    pos = jnp.asarray(positions, cfg.dtype)
+    lm = state.lm.at[ids, :3].set(pos[:, :3])
+    active = state.active.at[ids].set(True)
+    if uncertainties is None:
+        unc = jnp.full((len(ids), 3), cfg.initial_landmark_uncertainty,
+                       cfg.dtype)
+    else:
+        unc = jnp.asarray(uncertainties, cfg.dtype)[:, :3]
+    le = cfg.lm_edims
+    diag_rows = CAM_EDIMS + ids[:, None] * le + jnp.arange(3)[None, :]
+    cov = state.cov.at[diag_rows.reshape(-1),
+                       diag_rows.reshape(-1)].set(unc.reshape(-1))
+    return state._replace(lm=lm, active=active, cov=cov)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def rotation_consistency_gate(cfg: MekfConfig, state: MekfState,
+                              obs: FrameObservations,
+                              threshold_deg: float = 50.0
+                              ) -> FrameObservations:
+    """Reject observations whose implied map-frame marker rotation
+    disagrees with the filter's landmark rotation estimate.
+
+    Capability of the reference's (defined-but-never-called)
+    `correct_poses` quaternion gate, reference
+    filters/base_filter.py:274-325 with QUAT_THRESHOLD=50 deg at :32 —
+    recast as a masked batch op over all slots at once. One behavioral
+    fix: the reference silently DROPS observations of unknown markers;
+    here not-yet-active slots pass through so new landmarks can still
+    be initialized. Requires ``with_rotations`` (landmark rotations
+    are state only in that mode, as in the reference's EKF_Rotations
+    layout).
+    """
+    if not cfg.with_rotations:
+        raise ValueError("rotation gate needs with_rotations=True")
+    # observed map-frame rotation: q_wl_obs = q_wc ⊗ q_cl
+    q_obs = quat.multiply(state.cam_q[None, :], obs.q_cl)
+    dot = jnp.abs(jnp.sum(quat.normalize(q_obs)
+                          * quat.normalize(state.lm[:, 3:7]), axis=-1))
+    angle = 2.0 * jnp.arccos(jnp.clip(dot, 0.0, 1.0))  # double cover
+    ok = angle < jnp.deg2rad(threshold_deg)
+    keep = jnp.where(state.active, ok, True) & obs.mask
+    return obs._replace(mask=keep)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def innovation_gate(cfg: MekfConfig, state: MekfState,
+                    obs: FrameObservations,
+                    max_distance_m: float = 1.0) -> FrameObservations:
+    """Position-innovation gate for either landmark mode: reject
+    observations whose camera-frame position prediction disagrees with
+    the measurement by more than ``max_distance_m`` (a TPU-native
+    generalization of the reference's rotation-only gate to the
+    point-landmark filter, which has no rotation state to gate on)."""
+    pred = quat.rotate(quat.conjugate(state.cam_q)[None, :],
+                       state.lm[:, :3] - state.cam_t[None, :])
+    dist = jnp.linalg.norm(obs.t_cl - pred, axis=-1)
+    keep = jnp.where(state.active, dist < max_distance_m, True) & obs.mask
+    return obs._replace(mask=keep)
+
+
 def landmark_uncertainties(cfg: MekfConfig, state: MekfState) -> jnp.ndarray:
     """Per-landmark error covariance diagonals (C, lm_edims) — the
     map-file uncertainty column (reference

@@ -174,3 +174,66 @@ def test_pallas_fused_update_matches_cholesky():
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(out[True][1], out[False][1],
                                atol=5e-3, rtol=5e-3)
+
+
+def test_rotation_consistency_gate():
+    """Reference correct_poses capability (base_filter.py:274-325):
+    observations rotated >50 deg from the landmark estimate drop out;
+    unknown (inactive) slots pass through for initialization."""
+    from aruco_slam_tpu.filters import rotation_consistency_gate
+    cfg = MekfConfig(capacity=4, with_rotations=True)
+    state = init_state(cfg)
+    # activate slot 0 with identity rotation
+    state = state._replace(
+        active=state.active.at[0].set(True),
+        lm=state.lm.at[0, 3].set(1.0))
+    q_bad = jnp.asarray(  # 90 deg about z
+        [np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)], jnp.float32)
+    q_good = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    obs = FrameObservations(
+        t_cl=jnp.zeros((4, 3), jnp.float32),
+        q_cl=jnp.stack([q_bad, q_good, q_bad, q_good]),
+        mask=jnp.asarray([True, True, True, False]))
+    gated = rotation_consistency_gate(cfg, state, obs)
+    # slot 0: active + 90deg off -> dropped; slot 1: active? no ->
+    # passes; slot 2: inactive -> passes; slot 3: unobserved
+    assert list(np.asarray(gated.mask)) == [False, True, True, False]
+
+
+def test_innovation_gate():
+    from aruco_slam_tpu.filters import innovation_gate
+    cfg = MekfConfig(capacity=3)
+    state = init_state(cfg)
+    state = state._replace(
+        active=state.active.at[0].set(True) .at[1].set(True),
+        lm=state.lm.at[0].set(jnp.asarray([0.0, 0.0, 2.0]))
+                   .at[1].set(jnp.asarray([0.0, 0.0, 2.0])))
+    obs = FrameObservations(
+        t_cl=jnp.asarray([[0.0, 0.0, 2.1],    # near prediction
+                          [5.0, 0.0, 2.0],    # 5 m off
+                          [9.9, 9.9, 9.9]],   # inactive slot
+                         jnp.float32),
+        q_cl=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (3, 1)),
+        mask=jnp.asarray([True, True, True]))
+    gated = innovation_gate(cfg, state, obs, max_distance_m=1.0)
+    assert list(np.asarray(gated.mask)) == [True, False, True]
+
+
+def test_preload_map_round_trip(tmp_path):
+    """save_map -> load_map -> preload_map seeds the filter (working
+    version of the reference's broken load path, base_filter.py:249-272)."""
+    from aruco_slam_tpu.filters.mekf import preload_map
+    from aruco_slam_tpu.io import load_map, save_map
+    cfg = MekfConfig(capacity=8)
+    ids = np.array([1, 4, 6])
+    pos = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
+    unc = np.full((3, 3), 0.25)
+    f = tmp_path / "map.txt"
+    save_map(f, ids, pos, unc)
+    lids, lpos, lunc = load_map(f)
+    state = preload_map(cfg, init_state(cfg), lids, lpos, lunc)
+    assert list(np.where(np.asarray(state.active))[0]) == [1, 4, 6]
+    np.testing.assert_allclose(np.asarray(state.lm)[ids, :3], pos,
+                               atol=1e-5)
+    diag = np.diagonal(np.asarray(state.cov))
+    assert abs(diag[6 + 3 * 1] - 0.25) < 1e-5
