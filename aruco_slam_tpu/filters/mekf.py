@@ -92,6 +92,13 @@ class MekfConfig(NamedTuple):
     # (on when running on TPU and joseph_form is set)
     pallas_update: bool | None = None
     ns_iters: int = 20  # Newton–Schulz iterations for S⁻¹ in the kernel
+    # measurement compaction: gather the <=max_obs observed slots into
+    # a compact measurement block so the innovation system is
+    # (max_obs*md)² instead of (capacity*md)² — with 64 slots and ~8
+    # visible markers that is a 16x smaller S. Frames observing more
+    # than max_obs slots drop the highest-id extras (gated + rare; set
+    # max_obs >= capacity to disable).
+    max_obs: int = 16
 
     @property
     def lm_dims(self) -> int:
@@ -352,19 +359,39 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         z = t_cl
 
     w = mask[:, None].astype(dt)  # (C, 1) measurement-row mask
-    resid = ((z - h_all) * w).reshape(-1)  # (C*md,)
+    resid_rows = (z - h_all) * w  # (C, md)
 
-    # H: (C*md, N). Camera columns from j_cam; landmark columns block-
-    # diagonal (measurement j only touches landmark j), built with an
-    # einsum against the identity — a dense, MXU-friendly scatter.
-    h_cam = (j_cam * w[:, :, None]).reshape(c * md, CAM_EDIMS)
-    eye_c = jnp.eye(c, dtype=dt)
-    h_lm = jnp.einsum("jc,jml->jmcl", eye_c, j_lm * w[:, :, None])
-    h_mat = jnp.concatenate(
-        [h_cam, h_lm.reshape(c * md, c * le)], axis=1)
-
-    r_diag = jnp.where(
-        jnp.repeat(mask, md), cfg.r_uncertainty, 1.0).astype(dt)
+    k_obs = min(cfg.max_obs, c)
+    if k_obs < c:
+        # measurement compaction: gather the observed slots into a
+        # compact block so S is (k_obs*md)² instead of (C*md)². With
+        # C=64 slots and ~8 visible markers the innovation system
+        # shrinks 16x. top_k is deterministic (ties -> lowest index);
+        # frames observing more than k_obs slots drop the highest ids.
+        sel_score, sel = jax.lax.top_k(mask.astype(jnp.int32), k_obs)
+        sel_valid = (sel_score > 0).astype(dt)          # (K,)
+        h_cam = (j_cam[sel] * sel_valid[:, None, None]
+                 ).reshape(k_obs * md, CAM_EDIMS)
+        onehot = (sel[:, None] == jnp.arange(c)[None, :]
+                  ).astype(dt) * sel_valid[:, None]     # (K, C)
+        h_lm = jnp.einsum("kc,kml->kmcl", onehot, j_lm[sel])
+        h_mat = jnp.concatenate(
+            [h_cam, h_lm.reshape(k_obs * md, c * le)], axis=1)
+        resid = (resid_rows[sel] * sel_valid[:, None]).reshape(-1)
+        r_diag = jnp.where(jnp.repeat(sel_valid > 0, md),
+                           cfg.r_uncertainty, 1.0).astype(dt)
+    else:
+        # full block: H (C*md, N); camera columns from j_cam, landmark
+        # columns block-diagonal, built with an einsum against the
+        # identity — a dense, MXU-friendly scatter.
+        h_cam = (j_cam * w[:, :, None]).reshape(c * md, CAM_EDIMS)
+        eye_c = jnp.eye(c, dtype=dt)
+        h_lm = jnp.einsum("jc,jml->jmcl", eye_c, j_lm * w[:, :, None])
+        h_mat = jnp.concatenate(
+            [h_cam, h_lm.reshape(c * md, c * le)], axis=1)
+        resid = resid_rows.reshape(-1)
+        r_diag = jnp.where(
+            jnp.repeat(mask, md), cfg.r_uncertainty, 1.0).astype(dt)
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (on_tpu and cfg.joseph_form) \
         if cfg.pallas_update is None else cfg.pallas_update

@@ -237,3 +237,17 @@ def test_preload_map_round_trip(tmp_path):
                                atol=1e-5)
     diag = np.diagonal(np.asarray(state.cov))
     assert abs(diag[6 + 3 * 1] - 0.25) < 1e-5
+
+
+def test_measurement_compaction_is_exact():
+    """max_obs compaction == full measurement block when the per-frame
+    observation count fits (bit-equal trajectories)."""
+    base = MekfConfig(capacity=32)
+    _, traj, seq = make_obs_seq(base, frames=40, markers=6,
+                                noise_t=0.005)
+    outs = {}
+    for mo in (32, 8):
+        cfg = base._replace(max_obs=mo)
+        _, cam_traj = mekf_scan(cfg, init_state(cfg), seq)
+        outs[mo] = np.asarray(cam_traj)
+    np.testing.assert_allclose(outs[8], outs[32], atol=1e-6)
