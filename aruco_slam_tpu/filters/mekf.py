@@ -92,6 +92,10 @@ class MekfConfig(NamedTuple):
     # (on when running on TPU and joseph_form is set)
     pallas_update: bool | None = None
     ns_iters: int = 20  # Newton–Schulz iterations for S⁻¹ in the kernel
+    # failure detection (SURVEY.md §5 — the reference has none): if an
+    # update produces non-finite state, drop it and carry the predicted
+    # state forward instead of poisoning the filter permanently.
+    divergence_guard: bool = True
     # measurement compaction: gather the <=max_obs observed slots into
     # a compact measurement block so the innovation system is
     # (max_obs*md)² instead of (capacity*md)² — with 64 slots and ~8
@@ -285,6 +289,11 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     dt = cfg.dtype
 
     mask = obs.mask
+    if cfg.divergence_guard:
+        # non-finite observations are treated as unobserved: they must
+        # not reach landmark initialization or the residual
+        mask = mask & jnp.isfinite(obs.t_cl).all(-1) \
+            & jnp.isfinite(obs.q_cl).all(-1)
     # Sanitize masked-off slots: mask-by-multiplication does not stop
     # NaN/Inf garbage (e.g. a diverged PnP solution that detection
     # rejected) from propagating, so replace them outright.
@@ -392,6 +401,7 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         resid = resid_rows.reshape(-1)
         r_diag = jnp.where(
             jnp.repeat(mask, md), cfg.r_uncertainty, 1.0).astype(dt)
+    cov_pred = cov  # kept for the divergence guard
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (on_tpu and cfg.joseph_form) \
         if cfg.pallas_update is None else cfg.pallas_update
@@ -408,6 +418,13 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         s_fact = cho_factor(s, lower=True)
         gain = cho_solve(s_fact, ph_t.T).T    # K = P Hᵀ S⁻¹, (N, C*md)
         innovation = gain @ resid             # (N,)
+
+    if cfg.divergence_guard:
+        # a non-finite innovation (e.g. NaN observations that slipped
+        # the detector gates, or covariance blow-up) must not poison
+        # the state: fall back to the predicted state for this frame
+        innovation = jnp.where(jnp.isfinite(innovation).all(),
+                               innovation, 0.0)
 
     # state corrections: additive positions, multiplicative quaternions
     cam_t = state.cam_t + innovation[_DT]
@@ -429,6 +446,9 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         else:
             cov = i_kh @ cov  # the reference's form (extended_kalman_filter.py:156)
         cov = 0.5 * (cov + cov.T)
+
+    if cfg.divergence_guard:
+        cov = jnp.where(jnp.isfinite(cov).all(), cov, cov_pred)
 
     return MekfState(cam_t=cam_t, cam_q=cam_q, lm=lm, cov=cov,
                      active=active)

@@ -251,3 +251,19 @@ def test_measurement_compaction_is_exact():
         _, cam_traj = mekf_scan(cfg, init_state(cfg), seq)
         outs[mo] = np.asarray(cam_traj)
     np.testing.assert_allclose(outs[8], outs[32], atol=1e-6)
+
+
+def test_divergence_guard_survives_nan_observation():
+    """A NaN observation that slips past the gates must not poison the
+    filter (SURVEY.md §5: the reference has no failure handling)."""
+    cfg = MekfConfig(capacity=8)
+    _, _, seq = make_obs_seq(cfg, frames=10, markers=4)
+    state = init_state(cfg)
+    for i in range(10):
+        t = seq.t_cl[i]
+        if i == 5:  # poison one masked-ON observation
+            t = t.at[0, 0].set(jnp.nan)
+        state = mekf_step(cfg, state, FrameObservations(
+            t, seq.q_cl[i], seq.mask[i]))
+    assert np.isfinite(np.asarray(state.cam_t)).all()
+    assert np.isfinite(np.asarray(state.cov)).all()
