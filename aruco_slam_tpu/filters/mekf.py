@@ -92,6 +92,13 @@ class MekfConfig(NamedTuple):
     # (on when running on TPU and joseph_form is set)
     pallas_update: bool | None = None
     ns_iters: int = 20  # Newton–Schulz iterations for S⁻¹ in the kernel
+    # constant-velocity motion model: predict the camera forward by an
+    # exponential moving average of its recent per-frame displacement.
+    # The reference README (:55-56) claims a moving-average motion
+    # model but never implements it (MOVING_AVG_WINDOW is unused,
+    # reference extended_kalman_filter.py:19); this is the working
+    # version. 0.0 disables (reference behavior: predict is noise-only).
+    vel_smoothing: float = 0.0
     # failure detection (SURVEY.md §5 — the reference has none): if an
     # update produces non-finite state, drop it and carry the predicted
     # state forward instead of poisoning the filter permanently.
@@ -131,6 +138,9 @@ class MekfState(NamedTuple):
     lm: jnp.ndarray     # (C, 3) or (C, 7): [xyz] / [xyz, quat wxyz]
     cov: jnp.ndarray    # (N, N) error-state covariance, N = err_dim
     active: jnp.ndarray  # (C,) bool
+    vel: jnp.ndarray    # (3,) EMA per-frame camera displacement
+                        # (deterministic aux state; only used when
+                        # vel_smoothing > 0)
 
 
 class FrameObservations(NamedTuple):
@@ -163,6 +173,7 @@ def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
         lm=lm,
         cov=jnp.diag(diag),
         active=jnp.zeros(cfg.capacity, dtype=bool),
+        vel=jnp.zeros(3, dt),
     )
 
 
@@ -301,6 +312,15 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     ident_q = jnp.zeros_like(obs.q_cl).at[:, 0].set(1.0)
     q_cl = quat.normalize(
         jnp.where(mask[:, None], obs.q_cl, ident_q).astype(dt))
+
+    # --- motion model: constant-velocity nominal predict ---
+    prev_t = state.cam_t
+    if cfg.vel_smoothing > 0.0:
+        # move the nominal camera forward by the velocity EMA; the
+        # orientation/position error covariance inflation below already
+        # accounts for model error. Replacing cam_t on the state makes
+        # every downstream linearization use the predicted nominal.
+        state = state._replace(cam_t=state.cam_t + state.vel)
 
     # --- activation: initialize newly seen landmarks in the map frame ---
     new = mask & ~state.active
@@ -450,8 +470,14 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     if cfg.divergence_guard:
         cov = jnp.where(jnp.isfinite(cov).all(), cov, cov_pred)
 
+    if cfg.vel_smoothing > 0.0:
+        b = jnp.asarray(cfg.vel_smoothing, dt)
+        vel = b * state.vel + (1.0 - b) * (cam_t - prev_t)
+    else:
+        vel = state.vel
+
     return MekfState(cam_t=cam_t, cam_q=cam_q, lm=lm, cov=cov,
-                     active=active)
+                     active=active, vel=vel)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -267,3 +267,16 @@ def test_divergence_guard_survives_nan_observation():
             t, seq.q_cl[i], seq.mask[i]))
     assert np.isfinite(np.asarray(state.cam_t)).all()
     assert np.isfinite(np.asarray(state.cov)).all()
+
+
+def test_velocity_motion_model_runs_and_stays_consistent():
+    """vel_smoothing > 0 (the motion model the reference README
+    promises but never implements) tracks a smooth sequence."""
+    cfg = MekfConfig(capacity=16, vel_smoothing=0.7)
+    _, traj, seq = make_obs_seq(cfg, frames=100, markers=6,
+                                noise_t=0.005, noise_r=0.005)
+    final, cam_traj = mekf_scan(cfg, init_state(cfg), seq)
+    assert np.isfinite(np.asarray(cam_traj)).all()
+    err = ate.ate_rmse(np.asarray(cam_traj)[:, :3], traj.cam_t)
+    assert err < 0.15, f"ATE {err}"
+    assert np.isfinite(np.asarray(final.vel)).all()
