@@ -1,0 +1,100 @@
+"""End-to-end image->pose benchmark: the full SLAM pipeline on device.
+
+Renders a synthetic 1080p marker sequence host-side, then measures the
+complete on-device pipeline — image-domain ArUco detection (Pallas
+flood kernel), batched IPPE PnP, fused MEKF scan — as one jitted
+program. This is the boundary the reference crosses per frame with
+cv2.aruco detection + per-marker solvePnP + numpy EKF (tens of ms per
+1080p frame on CPU; its filter alone measures 22 ms/frame,
+BASELINE_MEASURED.md).
+
+    python -m aruco_slam_tpu.bench.e2e [--frames 128]
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=128)
+    p.add_argument("--markers", type=int, default=10)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.bench import synthetic
+    from aruco_slam_tpu.bench.render import render_sequence
+    from aruco_slam_tpu.core import camera as cam_mod
+    from aruco_slam_tpu.filters import (
+        FrameObservations, MekfConfig, init_state, mekf_scan)
+    from aruco_slam_tpu.ops import detect, pnp
+
+    k = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3],
+                  [0.0, 0.0, 1.0]])
+    d = np.array([0.0614, -0.2951, 0.0005, 0.0029, 0.4387])
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k, jnp.float32),
+                                          jnp.asarray(d, jnp.float32))
+    scene = synthetic.make_wall_scene(num_markers=args.markers, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
+    t0 = time.perf_counter()
+    frames = render_sequence(scene, traj, cam, image_size=(1920, 1080))
+    print(f"# rendered {args.frames} frames in "
+          f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
+
+    capacity = 64
+    dcfg = detect.DetectorConfig(capacity=capacity)
+    fcfg = MekfConfig(capacity=capacity)
+    state0 = init_state(fcfg)
+    marker_size = scene.marker_size
+    t = args.frames
+    ch = args.chunk
+
+    @jax.jit
+    def e2e(images, state):
+        def chunk(ims):
+            det = detect.detect_markers_batch(ims, dcfg)
+            res = pnp.solve_square_pnp(cam, det.corners, marker_size)
+            return (res.t_cl, res.q_cl,
+                    det.mask & (res.err < 3.0))
+        t_cl, q_cl, mask = jax.lax.map(
+            chunk, images.reshape(t // ch, ch, *images.shape[1:]))
+        merge = lambda a: a.reshape(t, *a.shape[2:])
+        obs = FrameObservations(merge(t_cl), merge(q_cl), merge(mask))
+        return mekf_scan(fcfg, state, obs)
+
+    images = jnp.asarray(frames)
+    jax.block_until_ready(e2e(images, state0)[1])  # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        # distinct inputs per rep (the tunneled executor memoizes
+        # identical calls)
+        _, out = e2e(images + np.uint8(r + 1), state0)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    fps = t / dt
+    print(json.dumps({
+        "metric": "e2e_image_to_pose_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "resolution": "1920x1080",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,9 +89,16 @@ class MekfConfig(NamedTuple):
     consistent_init: bool = True
     dtype: jnp.dtype = jnp.float32
     # fused Pallas update kernel (filters/pallas_mekf.py); None = auto
-    # (on when running on TPU and joseph_form is set)
+    # (on when running on TPU and joseph_form is set). NOTE: under
+    # vmap a pallas_call serializes its batch grid — for batched
+    # serving turn this off and use s_solver="ns", which vmaps into
+    # batched MXU GEMMs instead.
     pallas_update: bool | None = None
-    ns_iters: int = 20  # Newton–Schulz iterations for S⁻¹ in the kernel
+    ns_iters: int = 20  # Newton–Schulz iterations for S⁻¹
+    # innovation solve in the non-pallas path: "cho" = dense Cholesky
+    # (exact, serial); "ns" = Newton–Schulz inverse (pure matmuls,
+    # batches perfectly under vmap)
+    s_solver: str = "cho"
     # constant-velocity motion model: predict the camera forward by an
     # exponential moving average of its recent per-frame displacement.
     # The reference README (:55-56) claims a moving-average motion
@@ -432,11 +439,24 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
             cov, h_mat, r_diag, resid, ns_iters=cfg.ns_iters,
             interpret=not on_tpu)
     else:
-        # innovation covariance + gain via dense Cholesky
-        ph_t = cov @ h_mat.T                  # (N, C*md)
-        s = h_mat @ ph_t + jnp.diag(r_diag)   # (C*md, C*md)
-        s_fact = cho_factor(s, lower=True)
-        gain = cho_solve(s_fact, ph_t.T).T    # K = P Hᵀ S⁻¹, (N, C*md)
+        ph_t = cov @ h_mat.T                  # (N, M)
+        s = h_mat @ ph_t + jnp.diag(r_diag)   # (M, M)
+        if cfg.s_solver == "ns":
+            # Newton–Schulz inverse: X_{k+1} = X_k (2I - S X_k). Pure
+            # matmuls, so under vmap this becomes batched MXU GEMMs
+            # (a Cholesky would serialize). Same convergence argument
+            # as the pallas kernel (see filters/pallas_mekf.py).
+            m_dim = s.shape[0]
+            eye_m = jnp.eye(m_dim, dtype=dt)
+            norm1 = jnp.max(jnp.sum(jnp.abs(s), axis=0))
+            x0 = s / (norm1 * norm1)
+            s_inv = jax.lax.fori_loop(
+                0, cfg.ns_iters,
+                lambda _, x: x @ (2.0 * eye_m - s @ x), x0)
+            gain = ph_t @ s_inv               # K = P Hᵀ S⁻¹, (N, M)
+        else:
+            s_fact = cho_factor(s, lower=True)
+            gain = cho_solve(s_fact, ph_t.T).T
         innovation = gain @ resid             # (N,)
 
     if cfg.divergence_guard:

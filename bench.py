@@ -64,18 +64,35 @@ def main() -> None:
 
     from aruco_slam_tpu.filters import mekf_scan
 
-    def pipeline(state, corners_seq, mask_seq):
-        """corners -> batched PnP (all frames at once: the solves are
-        frame-independent, so they fill the chip instead of running
-        inside the sequential scan) -> fused MEKF scan."""
-        res = pnp.solve_square_pnp(cam, corners_seq, marker_size)
-        obs = FrameObservations(
-            t_cl=res.t_cl, q_cl=res.q_cl,
-            mask=mask_seq & (res.err < 3.0))
-        return mekf_scan(fcfg, state, obs)
+    def make_pipeline(cfg_):
+        def pipeline(state, corners_seq, mask_seq):
+            """corners -> batched PnP -> fused MEKF scan. The PnP
+            solves are frame-independent so they run outside the
+            sequential scan and fill the chip; lax.map chunks them
+            over time so the solver intermediates stay bounded
+            (vmapping the whole sequence at batch 64 wants ~45 GB)."""
+            t = corners_seq.shape[0]
+            ch = 64
+            def solve_chunk(c):
+                res = pnp.solve_square_pnp(cam, c, marker_size)
+                return res.t_cl, res.q_cl, res.err
+            t_cl, q_cl, err = jax.lax.map(
+                solve_chunk, corners_seq.reshape(
+                    t // ch, ch, *corners_seq.shape[1:]))
+            merge = lambda a: a.reshape(t, *a.shape[2:])
+            obs = FrameObservations(
+                t_cl=merge(t_cl), q_cl=merge(q_cl),
+                mask=mask_seq & (merge(err) < 3.0))
+            return mekf_scan(cfg_, state, obs)
+        return pipeline
 
-    single = jax.jit(pipeline)
-    batched = jax.jit(jax.vmap(pipeline, in_axes=(None, 0, 0)))
+    # single-stream: the fused pallas kernel minimizes per-frame
+    # latency. batched: a vmapped pallas_call serializes its batch
+    # grid, so the batched program uses the XLA Newton-Schulz solver,
+    # which vmaps into batched MXU GEMMs.
+    single = jax.jit(make_pipeline(fcfg))
+    fcfg_b = fcfg._replace(pallas_update=False, s_solver="ns")
+    batched = jax.jit(jax.vmap(make_pipeline(fcfg_b), in_axes=(None, 0, 0)))
 
     # B sequence variants: shared geometry, distinct pixel noise so the
     # tunneled executor cannot memoize identical calls

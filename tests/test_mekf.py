@@ -280,3 +280,17 @@ def test_velocity_motion_model_runs_and_stays_consistent():
     err = ate.ate_rmse(np.asarray(cam_traj)[:, :3], traj.cam_t)
     assert err < 0.15, f"ATE {err}"
     assert np.isfinite(np.asarray(final.vel)).all()
+
+
+def test_ns_solver_matches_cholesky():
+    """XLA Newton–Schulz innovation solve (the batched-serving path)
+    tracks the Cholesky solve."""
+    base = MekfConfig(capacity=16, pallas_update=False)
+    _, traj, seq = make_obs_seq(base, frames=40, markers=6,
+                                noise_t=0.005)
+    outs = {}
+    for sv in ("cho", "ns"):
+        cfg = base._replace(s_solver=sv)
+        _, cam_traj = mekf_scan(cfg, init_state(cfg), seq)
+        outs[sv] = np.asarray(cam_traj)
+    np.testing.assert_allclose(outs["ns"], outs["cho"], atol=1e-4)
