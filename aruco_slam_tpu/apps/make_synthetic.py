@@ -65,7 +65,15 @@ def main(argv=None) -> None:
     p.add_argument("--noise-r", type=float, default=0.0)
     p.add_argument("--images", action="store_true",
                    help="render grayscale frames (slower, larger)")
+    p.add_argument("--platform", default="cpu",
+                   help="JAX platform (default cpu: synthesis is a "
+                        "host-side tool; eager ops over a tunneled TPU "
+                        "backend are pathologically slow)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     bundle = build(frames=args.frames, markers=args.markers,
                    capacity=args.capacity, seed=args.seed,
                    noise_px=args.noise_px, noise_t=args.noise_t,
