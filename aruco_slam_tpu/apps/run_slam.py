@@ -46,6 +46,7 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
     cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k), jnp.asarray(d))
     marker_size = float(src["marker_size"]) if src.has("marker_size") \
         else cfg.marker_size
+    cfg.marker_size = marker_size  # downstream consumers (R scaling)
     if src.has("images"):
         from aruco_slam_tpu.ops import detect
         dcfg = detect.DetectorConfig(capacity=cfg.capacity)
@@ -75,7 +76,12 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                       r_uncertainty=cfg.mekf_r,
                       q_uncertainty_cam=cfg.mekf_q_cam,
                       q_error_uncertainty_cam=cfg.mekf_q_rot,
-                      q_uncertainty_lm=cfg.mekf_q_lm)
+                      q_uncertainty_lm=cfg.mekf_q_lm,
+                      motion_model=cfg.mekf_motion_model,
+                      q_vel=cfg.mekf_q_vel,
+                      pixel_sigma=cfg.mekf_pixel_sigma,
+                      focal_px=float(cam.fx),
+                      marker_size=cfg.marker_size)
     state = init_state(fcfg)
     if load_map_file:
         from aruco_slam_tpu.io import load_map as _load
@@ -166,6 +172,15 @@ def main(argv=None) -> None:
     p.add_argument("--mekf-q-cam", type=float, default=dflt.mekf_q_cam)
     p.add_argument("--mekf-q-rot", type=float, default=dflt.mekf_q_rot)
     p.add_argument("--mekf-q-lm", type=float, default=dflt.mekf_q_lm)
+    p.add_argument("--mekf-motion-model", default=dflt.mekf_motion_model,
+                   choices=["none", "cv"],
+                   help="camera predict: constant-velocity state (cv) "
+                        "or the reference's static predict (none)")
+    p.add_argument("--mekf-pixel-sigma", type=float,
+                   default=dflt.mekf_pixel_sigma,
+                   help="corner noise (px) for depth-scaled measurement "
+                        "covariance; 0 = constant R (reference behavior)")
+    p.add_argument("--mekf-q-vel", type=float, default=dflt.mekf_q_vel)
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -179,7 +194,10 @@ def main(argv=None) -> None:
         odom_sigma_t=args.odom_sigma_t,
         odom_sigma_rot=args.odom_sigma_rot,
         mekf_r=args.mekf_r, mekf_q_cam=args.mekf_q_cam,
-        mekf_q_rot=args.mekf_q_rot, mekf_q_lm=args.mekf_q_lm)
+        mekf_q_rot=args.mekf_q_rot, mekf_q_lm=args.mekf_q_lm,
+        mekf_motion_model=args.mekf_motion_model,
+        mekf_pixel_sigma=args.mekf_pixel_sigma,
+        mekf_q_vel=args.mekf_q_vel)
     src = NpzSource(cfg.input)
     times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
 

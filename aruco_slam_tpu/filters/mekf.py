@@ -31,6 +31,7 @@ vector). We keep quaternions in the *state* but track covariance only
 over the minimal error state:
 
     camera block:  6 dims  [δt (3), δθ (3)]
+                   9 dims  [δt, δθ, δv]  (motion_model="cv")
     landmark j:    3 dims  [δt]          (point mode)
                    6 dims  [δt, δθ]      (rotation mode)
 
@@ -67,9 +68,11 @@ from jax.scipy.linalg import cho_factor, cho_solve
 
 from aruco_slam_tpu.core import quaternion as quat
 
-CAM_EDIMS = 6  # camera error dims: [δt, δθ]
+CAM_EDIMS = 6  # camera error dims without a motion model: [δt, δθ]
+CAM_EDIMS_CV = 9  # with the constant-velocity model: [δt, δθ, δv]
 _DT = slice(0, 3)
 _DTH = slice(3, 6)
+_DV = slice(6, 9)
 
 
 class MekfConfig(NamedTuple):
@@ -105,7 +108,21 @@ class MekfConfig(NamedTuple):
     # model but never implements it (MOVING_AVG_WINDOW is unused,
     # reference extended_kalman_filter.py:19); this is the working
     # version. 0.0 disables (reference behavior: predict is noise-only).
+    # Superseded by motion_model="cv" below, which estimates the
+    # velocity *in the filter* with proper covariance bookkeeping
+    # instead of an out-of-band EMA.
     vel_smoothing: float = 0.0
+    # "none": static predict (reference behavior, or the EMA shift if
+    #   vel_smoothing > 0).
+    # "cv": constant-velocity camera — the error state grows to
+    #   [δt, δθ, δv] (9 dims), predict applies t += v with the exact
+    #   F P Fᵀ propagation, and the velocity is corrected by the same
+    #   Kalman update as everything else. Robust where the EMA hack
+    #   oscillates: the filter learns per-frame how much to trust v.
+    motion_model: str = "none"
+    q_vel: float = 2e-3          # velocity random-walk variance ("cv")
+    q_pos_cv: float = 1e-4       # residual position noise under "cv"
+    initial_vel_uncertainty: float = 0.01
     # failure detection (SURVEY.md §5 — the reference has none): if an
     # update produces non-finite state, drop it and carry the predicted
     # state forward instead of poisoning the filter permanently.
@@ -117,6 +134,20 @@ class MekfConfig(NamedTuple):
     # than max_obs slots drop the highest-id extras (gated + rare; set
     # max_obs >= capacity to disable).
     max_obs: int = 16
+    # depth-aware measurement covariance: if pixel_sigma > 0, replace
+    # the constant r_uncertainty with a per-observation R derived from
+    # planar-PnP error propagation — depth error of a square marker of
+    # side `marker_size` seen at depth z with focal `focal_px` scales
+    # as sigma_z = pixel_sigma * z^2 / (focal_px * marker_size), and
+    # lateral error is ~sigma_z/3 (both verified against Monte-Carlo
+    # PnP on synthetic corners; the z^2/(f s) law is the classical
+    # stereo-disparity depth-error result with the marker side acting
+    # as the baseline). The reference has only a constant R
+    # (reference extended_kalman_filter.py:26 R_UNCERTAINTY); a
+    # constant cannot be right at both 1 m and 5 m range.
+    pixel_sigma: float = 0.0
+    focal_px: float = 1414.9     # reference calibration fx
+    marker_size: float = 0.16    # reference marker side (m)
 
     @property
     def lm_dims(self) -> int:
@@ -133,8 +164,13 @@ class MekfConfig(NamedTuple):
         return 7 if self.with_rotations else 3
 
     @property
+    def cam_edims(self) -> int:
+        """Camera error dims: [δt, δθ] (+ [δv] with the cv model)."""
+        return CAM_EDIMS_CV if self.motion_model == "cv" else CAM_EDIMS
+
+    @property
     def err_dim(self) -> int:
-        return CAM_EDIMS + self.capacity * self.lm_edims
+        return self.cam_edims + self.capacity * self.lm_edims
 
 
 class MekfState(NamedTuple):
@@ -174,6 +210,8 @@ def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
     n = cfg.err_dim
     diag = jnp.full((n,), cfg.initial_landmark_uncertainty, dt)
     diag = diag.at[:CAM_EDIMS].set(cfg.initial_camera_uncertainty)
+    if cfg.motion_model == "cv":
+        diag = diag.at[_DV].set(cfg.initial_vel_uncertainty)
     return MekfState(
         cam_t=cam_t,
         cam_q=cam_q,
@@ -218,8 +256,43 @@ def _h_pose(eps_c, eps_l, cam_t, cam_q, lm_t, lm_q):
     return jnp.concatenate([xyz_cl, q_cl])
 
 
+def _meas_variances(cfg: MekfConfig, t_cl):
+    """Per-observation measurement variances.
+
+    Returns (r_rows (C, md), r_init (C, zdim)): the measurement-row
+    variances for the Kalman update and the init-noise variances for
+    the consistent augmentation (zdim = 3 position components, plus a
+    3-dim rotation VECTOR in rotation mode — quaternion-component
+    noise dq ≈ δθ/2 means var_rotvec = 4·var_quat).
+
+    With pixel_sigma <= 0 this is the reference's constant R
+    (reference extended_kalman_filter.py:26); otherwise depth-scaled
+    planar-PnP error propagation (see MekfConfig.pixel_sigma).
+    """
+    c, md, dt = cfg.capacity, cfg.meas_dims, cfg.dtype
+    if cfg.pixel_sigma <= 0.0:
+        zdim = 6 if cfg.with_rotations else 3
+        return (jnp.full((c, md), cfg.r_uncertainty, dt),
+                jnp.full((c, zdim), cfg.r_uncertainty, dt))
+    depth = jnp.clip(t_cl[:, 2], 0.2, None)
+    sig_z = cfg.pixel_sigma * depth * depth \
+        / (cfg.focal_px * cfg.marker_size)
+    var_z = jnp.maximum(sig_z * sig_z, 1e-8)
+    var_xy = var_z / 9.0
+    r_pos = jnp.stack([var_xy, var_xy, var_z], axis=-1)
+    if not cfg.with_rotations:
+        return r_pos.astype(dt), r_pos.astype(dt)
+    sig_th = cfg.pixel_sigma * depth / (cfg.focal_px * cfg.marker_size)
+    var_q = jnp.maximum(sig_th * sig_th, 1e-8)
+    r_rows = jnp.concatenate(
+        [r_pos, jnp.tile(var_q[:, None], (1, 4))], axis=-1)
+    r_init = jnp.concatenate(
+        [r_pos, jnp.tile(4.0 * var_q[:, None], (1, 3))], axis=-1)
+    return r_rows.astype(dt), r_init.astype(dt)
+
+
 def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
-                        t_cl, q_cl) -> jnp.ndarray:
+                        t_cl, q_cl, r_init) -> jnp.ndarray:
     """Consistent covariance augmentation for newly activated landmarks.
 
     The new landmark error is a function of the camera error and the
@@ -233,6 +306,7 @@ def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
     per-frame flops in steady state.
     """
     c, le, n, dt = cfg.capacity, cfg.lm_edims, cfg.err_dim, cfg.dtype
+    ce = cfg.cam_edims
 
     def augment():
         if cfg.with_rotations:
@@ -256,7 +330,7 @@ def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
             jac = jax.vmap(
                 jax.jacfwd(g_init, argnums=(0, 1)),
                 in_axes=(None, None, 0, 0),
-            )(jnp.zeros(CAM_EDIMS, dt), jnp.zeros(zdim, dt), t_cl, q_cl)
+            )(jnp.zeros(ce, dt), jnp.zeros(zdim, dt), t_cl, q_cl)
         else:
             def g_init(eps_c, z, tcl_j):
                 t = state.cam_t + eps_c[_DT]
@@ -269,21 +343,21 @@ def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
             jac = jax.vmap(
                 jax.jacfwd(g_init, argnums=(0, 1)),
                 in_axes=(None, None, 0),
-            )(jnp.zeros(CAM_EDIMS, dt), jnp.zeros(zdim, dt), t_cl)
+            )(jnp.zeros(ce, dt), jnp.zeros(zdim, dt), t_cl)
         j_cam_init, j_z_init = jac  # (C, le, 6), (C, le, zdim)
 
         g_cam = jnp.where(new[:, None, None], j_cam_init, 0.0)
         g_mat = jnp.eye(n, dtype=dt) * (~new_dims)[:, None]
-        g_mat = g_mat.at[CAM_EDIMS:, :CAM_EDIMS].set(
-            g_cam.reshape(c * le, CAM_EDIMS))
+        g_mat = g_mat.at[ce:, :ce].set(
+            g_cam.reshape(c * le, ce))
         b = jnp.where(new[:, None, None], j_z_init, 0.0)
-        brb = jnp.einsum("jlz,jmz->jlm", b, b) * cfg.r_uncertainty
+        brb = jnp.einsum("jlz,jmz,jz->jlm", b, b, r_init)
         cov = g_mat @ state.cov @ g_mat.T
         # block-diagonal scatter of brb (dense einsum against identity)
         eye_c = jnp.eye(c, dtype=dt)
         brb_full = jnp.einsum("jc,jlm->jlcm", eye_c, brb).reshape(
             c * le, c * le)
-        return cov.at[CAM_EDIMS:, CAM_EDIMS:].add(brb_full)
+        return cov.at[ce:, ce:].add(brb_full)
 
     return jax.lax.cond(new.any(), augment, lambda: state.cov)
 
@@ -304,6 +378,7 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     """
     c, le, md = cfg.capacity, cfg.lm_edims, cfg.meas_dims
     n = cfg.err_dim
+    ce = cfg.cam_edims
     dt = cfg.dtype
 
     mask = obs.mask
@@ -320,9 +395,18 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     q_cl = quat.normalize(
         jnp.where(mask[:, None], obs.q_cl, ident_q).astype(dt))
 
-    # --- motion model: constant-velocity nominal predict ---
+    # --- motion model predict ---
     prev_t = state.cam_t
-    if cfg.vel_smoothing > 0.0:
+    if cfg.motion_model == "cv":
+        # constant-velocity predict: t += v on the nominal, and the
+        # exact F P Fᵀ with F = I + (∂δt'/∂δv); row/col adds instead of
+        # a dense N×N matmul (F differs from I in 3 rows only)
+        state = state._replace(cam_t=state.cam_t + state.vel)
+        cov0 = state.cov
+        cov0 = cov0.at[_DT, :].add(cov0[_DV, :])
+        cov0 = cov0.at[:, _DT].add(cov0[:, _DV])
+        state = state._replace(cov=cov0)
+    elif cfg.vel_smoothing > 0.0:
         # move the nominal camera forward by the velocity EMA; the
         # orientation/position error covariance inflation below already
         # accounts for model error. Replacing cam_t on the state makes
@@ -342,9 +426,11 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     active = state.active | mask
 
     lm_new_dims = jnp.repeat(new, le)  # (C*le,)
-    new_dims = jnp.concatenate([jnp.zeros(CAM_EDIMS, bool), lm_new_dims])
+    new_dims = jnp.concatenate([jnp.zeros(ce, bool), lm_new_dims])
+    r_rows, r_init = _meas_variances(cfg, t_cl)
     if cfg.consistent_init:
-        cov = _augment_consistent(cfg, state, new, new_dims, t_cl, q_cl)
+        cov = _augment_consistent(cfg, state, new, new_dims, t_cl, q_cl,
+                                  r_init)
     else:
         # Reference-style init: zero cross terms, fixed diagonal
         # (reference extended_kalman_filter.py:276-290).
@@ -357,10 +443,15 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     # has no state motion model; predict only adds Q, reference
     # extended_kalman_filter.py:95-105) ---
     q_diag = jnp.zeros((n,), dt)
-    q_diag = q_diag.at[_DT].set(cfg.q_uncertainty_cam)
-    q_diag = q_diag.at[_DTH].set(cfg.q_error_uncertainty_cam)
+    if cfg.motion_model == "cv":
+        q_diag = q_diag.at[_DT].set(cfg.q_pos_cv)
+        q_diag = q_diag.at[_DTH].set(cfg.q_error_uncertainty_cam)
+        q_diag = q_diag.at[_DV].set(cfg.q_vel)
+    else:
+        q_diag = q_diag.at[_DT].set(cfg.q_uncertainty_cam)
+        q_diag = q_diag.at[_DTH].set(cfg.q_error_uncertainty_cam)
     lm_active_dims = jnp.repeat(active, le)
-    q_diag = q_diag.at[CAM_EDIMS:].set(
+    q_diag = q_diag.at[ce:].set(
         jnp.where(lm_active_dims, cfg.q_uncertainty_lm, 0.0))
     cov = cov + jnp.diag(q_diag)
 
@@ -374,7 +465,7 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
             return _h_point(eps_c, eps_l, state.cam_t, state.cam_q,
                             lm_j[:3])
 
-    zeros_c = jnp.zeros(CAM_EDIMS, dt)
+    zeros_c = jnp.zeros(ce, dt)
     zeros_l = jnp.zeros(le, dt)
 
     def h_and_jac(lm_j, tcl_j):
@@ -397,6 +488,7 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     w = mask[:, None].astype(dt)  # (C, 1) measurement-row mask
     resid_rows = (z - h_all) * w  # (C, md)
 
+
     k_obs = min(cfg.max_obs, c)
     if k_obs < c:
         # measurement compaction: gather the observed slots into a
@@ -407,7 +499,7 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         sel_score, sel = jax.lax.top_k(mask.astype(jnp.int32), k_obs)
         sel_valid = (sel_score > 0).astype(dt)          # (K,)
         h_cam = (j_cam[sel] * sel_valid[:, None, None]
-                 ).reshape(k_obs * md, CAM_EDIMS)
+                 ).reshape(k_obs * md, ce)
         onehot = (sel[:, None] == jnp.arange(c)[None, :]
                   ).astype(dt) * sel_valid[:, None]     # (K, C)
         h_lm = jnp.einsum("kc,kml->kmcl", onehot, j_lm[sel])
@@ -415,19 +507,19 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
             [h_cam, h_lm.reshape(k_obs * md, c * le)], axis=1)
         resid = (resid_rows[sel] * sel_valid[:, None]).reshape(-1)
         r_diag = jnp.where(jnp.repeat(sel_valid > 0, md),
-                           cfg.r_uncertainty, 1.0).astype(dt)
+                           r_rows[sel].reshape(-1), 1.0).astype(dt)
     else:
         # full block: H (C*md, N); camera columns from j_cam, landmark
         # columns block-diagonal, built with an einsum against the
         # identity — a dense, MXU-friendly scatter.
-        h_cam = (j_cam * w[:, :, None]).reshape(c * md, CAM_EDIMS)
+        h_cam = (j_cam * w[:, :, None]).reshape(c * md, ce)
         eye_c = jnp.eye(c, dtype=dt)
         h_lm = jnp.einsum("jc,jml->jmcl", eye_c, j_lm * w[:, :, None])
         h_mat = jnp.concatenate(
             [h_cam, h_lm.reshape(c * md, c * le)], axis=1)
         resid = resid_rows.reshape(-1)
         r_diag = jnp.where(
-            jnp.repeat(mask, md), cfg.r_uncertainty, 1.0).astype(dt)
+            jnp.repeat(mask, md), r_rows.reshape(-1), 1.0).astype(dt)
     cov_pred = cov  # kept for the divergence guard
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (on_tpu and cfg.joseph_form) \
@@ -469,7 +561,7 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     # state corrections: additive positions, multiplicative quaternions
     cam_t = state.cam_t + innovation[_DT]
     cam_q = quat.normalize(_perturb(state.cam_q, innovation[_DTH]))
-    lm_inn = innovation[CAM_EDIMS:].reshape(c, le)
+    lm_inn = innovation[ce:].reshape(c, le)
     lm = lm.at[:, :3].add(lm_inn[:, :3])
     if cfg.with_rotations:
         lm_q = quat.normalize(
@@ -490,7 +582,9 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     if cfg.divergence_guard:
         cov = jnp.where(jnp.isfinite(cov).all(), cov, cov_pred)
 
-    if cfg.vel_smoothing > 0.0:
+    if cfg.motion_model == "cv":
+        vel = state.vel + innovation[_DV]
+    elif cfg.vel_smoothing > 0.0:
         b = jnp.asarray(cfg.vel_smoothing, dt)
         vel = b * state.vel + (1.0 - b) * (cam_t - prev_t)
     else:
@@ -536,7 +630,7 @@ def preload_map(cfg: MekfConfig, state: MekfState, ids, positions,
     else:
         unc = jnp.asarray(uncertainties, cfg.dtype)[:, :3]
     le = cfg.lm_edims
-    diag_rows = CAM_EDIMS + ids[:, None] * le + jnp.arange(3)[None, :]
+    diag_rows = cfg.cam_edims + ids[:, None] * le + jnp.arange(3)[None, :]
     cov = state.cov.at[diag_rows.reshape(-1),
                        diag_rows.reshape(-1)].set(unc.reshape(-1))
     return state._replace(lm=lm, active=active, cov=cov)
@@ -592,7 +686,7 @@ def landmark_uncertainties(cfg: MekfConfig, state: MekfState) -> jnp.ndarray:
     """Per-landmark error covariance diagonals (C, lm_edims) — the
     map-file uncertainty column (reference
     extended_kalman_filter.py:91-93)."""
-    diag = jnp.diagonal(state.cov)[CAM_EDIMS:]
+    diag = jnp.diagonal(state.cov)[cfg.cam_edims:]
     return diag.reshape(cfg.capacity, cfg.lm_edims)
 
 
