@@ -57,6 +57,9 @@ def main(argv=None) -> None:
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
                        max_factors=int(mask.sum()) + 8,
+                       pixel_sigma=cfg.pixel_sigma,
+                       focal_px=float(cam.fx),
+                       marker_size=cfg.marker_size,
                        meas_sigma_t=cfg.meas_sigma_t,
                        odom_sigma_t=cfg.odom_sigma_t,
                        odom_sigma_rot=cfg.odom_sigma_rot)

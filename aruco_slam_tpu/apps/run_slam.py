@@ -79,7 +79,7 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                       q_uncertainty_lm=cfg.mekf_q_lm,
                       motion_model=cfg.mekf_motion_model,
                       q_vel=cfg.mekf_q_vel,
-                      pixel_sigma=cfg.mekf_pixel_sigma,
+                      pixel_sigma=cfg.pixel_sigma,
                       focal_px=float(cam.fx),
                       marker_size=cfg.marker_size)
     state = init_state(fcfg)
@@ -118,7 +118,10 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                        max_factors=int(mask.sum()) + 8,
                        meas_sigma_t=cfg.meas_sigma_t,
                        odom_sigma_t=cfg.odom_sigma_t,
-                       odom_sigma_rot=cfg.odom_sigma_rot)
+                       odom_sigma_rot=cfg.odom_sigma_rot,
+                       pixel_sigma=cfg.pixel_sigma,
+                       focal_px=float(cam.fx),
+                       marker_size=cfg.marker_size)
     state = init_graph(gcfg)
     cam_traj = np.zeros((t, 7))
     for i in range(t):
@@ -176,10 +179,11 @@ def main(argv=None) -> None:
                    choices=["none", "cv"],
                    help="camera predict: constant-velocity state (cv) "
                         "or the reference's static predict (none)")
-    p.add_argument("--mekf-pixel-sigma", type=float,
-                   default=dflt.mekf_pixel_sigma,
+    p.add_argument("--pixel-sigma", type=float,
+                   default=dflt.pixel_sigma,
                    help="corner noise (px) for depth-scaled measurement "
-                        "covariance; 0 = constant R (reference behavior)")
+                        "covariance in both backends; 0 = constant R "
+                        "(reference behavior)")
     p.add_argument("--mekf-q-vel", type=float, default=dflt.mekf_q_vel)
     args = p.parse_args(argv)
     if args.platform:
@@ -196,7 +200,7 @@ def main(argv=None) -> None:
         mekf_r=args.mekf_r, mekf_q_cam=args.mekf_q_cam,
         mekf_q_rot=args.mekf_q_rot, mekf_q_lm=args.mekf_q_lm,
         mekf_motion_model=args.mekf_motion_model,
-        mekf_pixel_sigma=args.mekf_pixel_sigma,
+        pixel_sigma=args.pixel_sigma,
         mekf_q_vel=args.mekf_q_vel)
     src = NpzSource(cfg.input)
     times, t_cl, q_cl, mask, cam = load_observations(src, cfg)

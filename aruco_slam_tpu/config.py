@@ -73,5 +73,8 @@ class SlamAppConfig:
     # subpixel refinement). Set motion_model="none" and pixel_sigma=0
     # for reference-parity behavior.
     mekf_motion_model: str = "cv"
-    mekf_pixel_sigma: float = 1.0
     mekf_q_vel: float = 2e-3
+    # corner noise (px) driving the depth-scaled measurement whitening
+    # in BOTH backends (filters/mekf.py pixel_sigma, graph/ba.py
+    # per-factor sigmas); 0 = constant-R reference behavior
+    pixel_sigma: float = 1.0

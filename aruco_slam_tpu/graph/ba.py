@@ -58,6 +58,15 @@ class GraphConfig(NamedTuple):
     odom_sigma_rot: float = 20.0 * _PI / 180.0
     odom_sigma_t: float = 0.1
     meas_sigma_t: float = 0.5
+    # depth-scaled per-axis measurement whitening: if pixel_sigma > 0,
+    # each factor is whitened with [sig_xy, sig_xy, sig_z](depth) from
+    # the planar-PnP error law sig_z = px * z^2 / (f*s), sig_xy =
+    # sig_z/3 (same model as filters/mekf.py) instead of the constant
+    # isotropic meas_sigma_t — depth errors are ~9x lateral at range,
+    # and a constant sigma misweights them.
+    pixel_sigma: float = 0.0
+    focal_px: float = 1414.9
+    marker_size: float = 0.16
     # Levenberg-Marquardt (reference factor_graph.py:334-336)
     lm_init_lambda: float = 1e-4
     lm_factor: float = 4.0
@@ -75,6 +84,7 @@ class GraphState(NamedTuple):
     f_pose: jnp.ndarray    # (F,) int32 observing pose index
     f_lm: jnp.ndarray      # (F,) int32 observed landmark index
     f_tcl: jnp.ndarray     # (F, 3) measured marker pos in camera frame
+    f_sig: jnp.ndarray     # (F, 3) per-axis whitening sigmas
     f_valid: jnp.ndarray   # (F,) bool
     f_count: jnp.ndarray   # () int32
 
@@ -96,6 +106,7 @@ def init_graph(cfg: GraphConfig, cam_t=None, cam_q=None) -> GraphState:
         f_pose=jnp.zeros(cfg.max_factors, jnp.int32),
         f_lm=jnp.zeros(cfg.max_factors, jnp.int32),
         f_tcl=jnp.zeros((cfg.max_factors, 3), dt),
+        f_sig=jnp.full((cfg.max_factors, 3), cfg.meas_sigma_t, dt),
         f_valid=jnp.zeros(cfg.max_factors, bool),
         f_count=jnp.asarray(0, jnp.int32),
     )
@@ -141,6 +152,15 @@ def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
     f_pose = scatter(state.f_pose, jnp.full(c, i, jnp.int32))
     f_lm = scatter(state.f_lm, slots)
     f_tcl = scatter(state.f_tcl, t_cl)
+    if cfg.pixel_sigma > 0.0:
+        depth = jnp.clip(t_cl[:, 2], 0.2, None)
+        sig_z = jnp.maximum(
+            cfg.pixel_sigma * depth * depth
+            / (cfg.focal_px * cfg.marker_size), 1e-4)
+        sig = jnp.stack([sig_z / 3.0, sig_z / 3.0, sig_z], axis=-1)
+    else:
+        sig = jnp.full((c, 3), cfg.meas_sigma_t, dt)
+    f_sig = scatter(state.f_sig, sig.astype(dt))
     f_valid = scatter(state.f_valid, ok)
     f_count = jnp.minimum(
         state.f_count + jnp.sum(mask, dtype=jnp.int32),
@@ -156,7 +176,7 @@ def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
     return state._replace(
         pose_q=pose_q, pose_t=pose_t, lm=lm, lm_active=lm_active,
         num_poses=num_poses, f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl,
-        f_valid=f_valid, f_count=f_count)
+        f_sig=f_sig, f_valid=f_valid, f_count=f_count)
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +186,9 @@ def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
 def _meas_residual(eps_p, eps_l, pose_q, pose_t, lm, t_cl, sigma_t):
     """Whitened point-observation residual (3,).
 
-    Perturbations: pose rotation right-multiplicative rotvec eps_p[:3]
-    ... wait — convention: eps_p = [δθ (right rotvec), δt (world)].
+    ``sigma_t``: scalar or (3,) per-axis whitening (camera frame — the
+    residual lives there, so the depth axis gets its own sigma).
+    Perturbation convention: eps_p = [δθ (right rotvec), δt (world)].
     """
     q = quat.multiply(pose_q, quat.from_rotvec(eps_p[:3]))
     t = pose_t + eps_p[3:]
@@ -217,13 +238,14 @@ def _meas_terms(cfg: GraphConfig, state: GraphState, pose_free
     ft = state.pose_t[state.f_pose]
     fl = state.lm[state.f_lm]
 
-    def meas_all(q, t, l, tcl):
-        r = _meas_residual(z6, z3, q, t, l, tcl, cfg.meas_sigma_t)
+    def meas_all(q, t, l, tcl, sig):
+        r = _meas_residual(z6, z3, q, t, l, tcl, sig)
         jp, jl = jax.jacfwd(_meas_residual, argnums=(0, 1))(
-            z6, z3, q, t, l, tcl, cfg.meas_sigma_t)
+            z6, z3, q, t, l, tcl, sig)
         return r, jp, jl
 
-    r_m, jp_m, jl_m = jax.vmap(meas_all)(fq, ft, fl, state.f_tcl)
+    r_m, jp_m, jl_m = jax.vmap(meas_all)(fq, ft, fl, state.f_tcl,
+                                         state.f_sig)
     valid = state.f_valid
     r_m = jnp.where(valid[:, None], r_m, 0.0)
     jp_m = jnp.where((valid & pose_free[state.f_pose])[:, None, None],
@@ -370,9 +392,9 @@ def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
     z6 = jnp.zeros(6, dt)
     z3 = jnp.zeros(3, dt)
     r_m = jax.vmap(
-        lambda q, t, l, tcl: _meas_residual(
-            z6, z3, q, t, l, tcl, cfg.meas_sigma_t)
-    )(fq, ft, fl, state.f_tcl)
+        lambda q, t, l, tcl, sig: _meas_residual(
+            z6, z3, q, t, l, tcl, sig)
+    )(fq, ft, fl, state.f_tcl, state.f_sig)
     r_m = jnp.where(state.f_valid[:, None], r_m, 0.0)
     tcap = cfg.max_poses
     idx_a = jnp.arange(1, tcap)

@@ -45,6 +45,8 @@ def _pad_factors(cfg: GraphConfig, state: GraphState, n: int
         f_pose=jnp.pad(state.f_pose, (0, pad)),
         f_lm=jnp.pad(state.f_lm, (0, pad)),
         f_tcl=jnp.pad(state.f_tcl, ((0, pad), (0, 0))),
+        f_sig=jnp.pad(state.f_sig, ((0, pad), (0, 0)),
+                      constant_values=1.0),
         f_valid=jnp.pad(state.f_valid, (0, pad)),
     )
 
@@ -58,7 +60,8 @@ def _sharded_meas_terms(cfg: GraphConfig, mesh: Mesh, axis: str):
             GraphState(
                 pose_q=P(), pose_t=P(), lm=P(), lm_active=P(),
                 num_poses=P(), f_pose=P(axis), f_lm=P(axis),
-                f_tcl=P(axis), f_valid=P(axis), f_count=P()),
+                f_tcl=P(axis), f_sig=P(axis), f_valid=P(axis),
+                f_count=P()),
             P(),
         ),
         out_specs=MeasTerms(diag=P(), w4=P(), h_ll=P(), g_p=P(),
@@ -117,8 +120,8 @@ def sharded_batch_optimize(cfg: GraphConfig, state: GraphState,
     # place the factor arrays sharded, everything else replicated
     sharding = GraphState(
         pose_q=P(), pose_t=P(), lm=P(), lm_active=P(), num_poses=P(),
-        f_pose=P(axis), f_lm=P(axis), f_tcl=P(axis), f_valid=P(axis),
-        f_count=P())
+        f_pose=P(axis), f_lm=P(axis), f_tcl=P(axis), f_sig=P(axis),
+        f_valid=P(axis), f_count=P())
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sharding,
                             is_leaf=lambda x: isinstance(x, P)))

@@ -141,3 +141,40 @@ def test_reference_noise_defaults():
     assert np.isfinite(float(cost))
     err = ate.ate_rmse(est_traj(state, frames), traj.cam_t[:frames])
     assert err < 0.6, f"ATE {err}"
+
+
+def test_depth_scaled_factor_whitening_improves_fit():
+    """pixel_sigma > 0 whitens each factor per-axis from the z²/(f·s)
+    depth-error law. On PnP-shaped noise (corner noise propagated
+    through the planar solve — depth errors ~9x lateral) it must fit
+    at least as well as the constant-sigma model; isotropic whitening
+    misweights those residuals."""
+    import jax.numpy as jnp
+    from aruco_slam_tpu.bench import ate, synthetic
+    from aruco_slam_tpu.core import camera as cam_mod
+    from aruco_slam_tpu.ops import pnp
+
+    k = np.array([[1414.9, 0, 967.0], [0, 1414.9, 544.3], [0, 0, 1.0]])
+    cam = cam_mod.CameraModel.from_matrix(
+        jnp.asarray(k), jnp.zeros(5))
+    scene = synthetic.make_wall_scene(num_markers=12, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=40)
+    corners, cmask = synthetic.observe_corners(
+        scene, traj, cam, 12, noise_px=0.5, seed=5)
+    res = pnp.solve_square_pnp(cam, jnp.asarray(corners), 0.16)
+    t_cl = np.asarray(res.t_cl)
+    errs = {}
+    for ps in (0.0, 1.0):
+        cfg = GraphConfig(max_poses=42, max_landmarks=12,
+                          max_factors=int(cmask.sum()) + 4,
+                          meas_sigma_t=0.02, odom_sigma_t=1.0,
+                          odom_sigma_rot=1.0, pixel_sigma=ps)
+        st = init_graph(cfg)
+        for i in range(40):
+            st = add_frame(cfg, st, jnp.asarray(t_cl[i]),
+                           jnp.asarray(cmask[i]))
+        st, cost = batch_optimize(cfg, st, iters=30)
+        assert np.isfinite(float(cost))
+        errs[ps] = ate.ate_rmse(
+            np.asarray(st.pose_t[:40]), traj.cam_t)
+    assert errs[1.0] <= errs[0.0] * 1.05, errs
