@@ -23,7 +23,8 @@ from aruco_slam_tpu.graph import (
     landmark_covariances, optimize_window)
 from aruco_slam_tpu.io import TrajectoryWriter, save_map
 from aruco_slam_tpu.io.sources import NpzSource
-from aruco_slam_tpu.apps.run_slam import load_observations
+from aruco_slam_tpu.apps.run_slam import (
+    VIDEO_SUFFIXES, load_observations, load_video_observations)
 
 
 def main(argv=None) -> None:
@@ -35,6 +36,9 @@ def main(argv=None) -> None:
     p.add_argument("--trajectory", default="outputs/trajectory.txt")
     p.add_argument("--map", dest="map_file", default="outputs/map.txt")
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--calib", default=None,
+                   help="directory with camera_matrix.npy + "
+                        "dist_coeffs.npy (video input)")
     dflt = SlamAppConfig(input="")
     p.add_argument("--meas-sigma-t", type=float, default=dflt.meas_sigma_t)
     p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
@@ -51,8 +55,14 @@ def main(argv=None) -> None:
                         meas_sigma_t=args.meas_sigma_t,
                         odom_sigma_t=args.odom_sigma_t,
                         odom_sigma_rot=args.odom_sigma_rot)
-    src = NpzSource(cfg.input)
-    times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
+    from pathlib import Path
+    if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
+        src = None
+        times, t_cl, q_cl, mask, cam = load_video_observations(
+            cfg, args.calib)
+    else:
+        src = NpzSource(cfg.input)
+        times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
 
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
@@ -94,7 +104,7 @@ def main(argv=None) -> None:
     save_map(cfg.map_file, ids, np.asarray(state.lm)[ids], unc[ids])
     print(f"wrote {cfg.trajectory_file} ({t} poses), "
           f"{cfg.map_file} ({len(ids)} landmarks)")
-    if src.has("gt_cam_t"):
+    if src is not None and src.has("gt_cam_t"):
         from aruco_slam_tpu.bench import ate
         est = np.asarray(state.pose_t)[:t]
         print(f"ATE vs ground truth: "

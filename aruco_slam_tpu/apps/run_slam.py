@@ -34,8 +34,60 @@ from aruco_slam_tpu.graph import (
     GraphConfig, add_frame, init_graph, landmark_covariances,
     optimize_window)
 from aruco_slam_tpu.io import TrajectoryWriter, save_map
-from aruco_slam_tpu.io.sources import NpzSource
+from aruco_slam_tpu.io.sources import NpzSource, VideoSource
 from aruco_slam_tpu.ops import pnp
+
+VIDEO_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv"}
+
+
+def _observations_from_images(images, times, cam, cfg: SlamAppConfig,
+                              chunk: int = 32):
+    """Image-domain front end: batched detection + PnP, chunked so a
+    long video doesn't materialize (T, H, W) on device at once."""
+    from aruco_slam_tpu.ops import detect
+    dcfg = detect.DetectorConfig(capacity=cfg.capacity)
+    outs = []
+    for s in range(0, len(images), chunk):
+        det = detect.detect_markers_batch(
+            jnp.asarray(images[s:s + chunk]), dcfg)
+        res = pnp.solve_square_pnp(cam, det.corners, cfg.marker_size)
+        mask = det.mask & (res.err < cfg.max_reproj_px)
+        outs.append((np.asarray(res.t_cl), np.asarray(res.q_cl),
+                     np.asarray(mask)))
+    t_cl = np.concatenate([o[0] for o in outs])
+    q_cl = np.concatenate([o[1] for o in outs])
+    mask = np.concatenate([o[2] for o in outs])
+    return times, t_cl, q_cl, mask, cam
+
+
+def load_camera(cfg: SlamAppConfig, calib_dir=None):
+    """Camera from saved calibration artifacts (the reference's
+    camera_matrix.npy + dist_coeffs.npy, reference
+    filters/base_filter.py:55-63) or the config fallback."""
+    from pathlib import Path
+    k, d = cfg.camera_matrix, cfg.dist_coeffs
+    if calib_dir:
+        cd = Path(calib_dir)
+        k = np.load(cd / "camera_matrix.npy")
+        d = np.load(cd / "dist_coeffs.npy")
+    return cam_mod.CameraModel.from_matrix(jnp.asarray(k),
+                                           jnp.asarray(d))
+
+
+def load_video_observations(cfg: SlamAppConfig, calib_dir=None):
+    """Decode a video file (host) and run the image-domain front end
+    — the reference's primary input path (reference
+    main/run_slam.py:96-121)."""
+    cam = load_camera(cfg, calib_dir)
+    vs = VideoSource(cfg.input)
+    times, imgs = [], []
+    for ts, gray in vs.frames():
+        times.append(ts)
+        imgs.append(gray)
+    if not imgs:
+        raise ValueError(f"{cfg.input}: no decodable frames")
+    return _observations_from_images(
+        np.stack(imgs), np.asarray(times), cam, cfg)
 
 
 def load_observations(src: NpzSource, cfg: SlamAppConfig):
@@ -48,14 +100,8 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
         else cfg.marker_size
     cfg.marker_size = marker_size  # downstream consumers (R scaling)
     if src.has("images"):
-        from aruco_slam_tpu.ops import detect
-        dcfg = detect.DetectorConfig(capacity=cfg.capacity)
-        det = detect.detect_markers_batch(
-            jnp.asarray(src["images"]), dcfg)
-        res = pnp.solve_square_pnp(cam, det.corners, marker_size)
-        mask = det.mask & (res.err < cfg.max_reproj_px)
-        return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
-                np.asarray(mask), cam)
+        return _observations_from_images(
+            src["images"], src.times, cam, cfg)
     if src.has("corners"):
         res = pnp.solve_square_pnp(
             cam, jnp.asarray(src["corners"]), marker_size)
@@ -171,6 +217,10 @@ def main(argv=None) -> None:
     p.add_argument("--load-map", default=None,
                    help="seed the filter with a saved map (the "
                         "reference's LOAD_MAP path, fixed + enabled)")
+    p.add_argument("--calib", default=None,
+                   help="directory with camera_matrix.npy + "
+                        "dist_coeffs.npy (video input; the reference's "
+                        "calibration artifacts)")
     p.add_argument("--mekf-r", type=float, default=dflt.mekf_r)
     p.add_argument("--mekf-q-cam", type=float, default=dflt.mekf_q_cam)
     p.add_argument("--mekf-q-rot", type=float, default=dflt.mekf_q_rot)
@@ -202,8 +252,14 @@ def main(argv=None) -> None:
         mekf_motion_model=args.mekf_motion_model,
         pixel_sigma=args.pixel_sigma,
         mekf_q_vel=args.mekf_q_vel)
-    src = NpzSource(cfg.input)
-    times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
+    from pathlib import Path
+    if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
+        src = None
+        times, t_cl, q_cl, mask, cam = load_video_observations(
+            cfg, args.calib)
+    else:
+        src = NpzSource(cfg.input)
+        times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
 
     viewers = []
     if cfg.viz_3d:
@@ -257,7 +313,7 @@ def main(argv=None) -> None:
     save_map(cfg.map_file, ids, lm[ids], unc[ids])
     print(f"wrote {cfg.trajectory_file} ({len(times)} poses), "
           f"{cfg.map_file} ({len(ids)} landmarks)")
-    if src.has("gt_cam_t"):
+    if src is not None and src.has("gt_cam_t"):
         from aruco_slam_tpu.bench import ate
         err = ate.ate_rmse(cam_traj[:, :3], src["gt_cam_t"])
         print(f"ATE vs ground truth: {err:.4f} m")

@@ -58,12 +58,14 @@ def save_npz(path, **arrays) -> None:
 class VideoSource:
     """Grayscale frames from a video file (host-side decode).
 
-    Prefers imageio (bundled); falls back to cv2 when present. Frames
-    are resized to `size` (default 1920x1080, the reference's working
-    resolution, reference main/run_slam.py:43,116).
+    Prefers imageio (bundled); falls back to cv2 when present.
+    ``size=(w, h)`` resizes every frame (the reference hard-codes a
+    1920x1080 resize, reference main/run_slam.py:43,116 — only correct
+    when the calibration is 1080p); default None keeps the native
+    resolution so the frames match whatever calibration is supplied.
     """
 
-    def __init__(self, path, size=(1920, 1080)) -> None:
+    def __init__(self, path, size=None) -> None:
         self.path = str(path)
         self.size = size
         try:
@@ -86,14 +88,15 @@ class VideoSource:
 
     def frames(self):
         """Yield (timestamp_s, grayscale uint8 (H, W)) per frame."""
-        w, h = self.size
+        w, h = self.size if self.size else (None, None)
         if self._mode == "imageio":
             fps = 30.0
             for i, frame in enumerate(
                     self._iio.imiter(self.path, plugin="pyav")):
                 gray = frame.mean(axis=-1).astype(np.uint8) \
                     if frame.ndim == 3 else frame
-                gray = _resize_nearest(gray, (h, w))
+                if self.size:
+                    gray = _resize_nearest(gray, (h, w))
                 yield i / fps, gray
         else:
             cap = self._cv2.VideoCapture(self.path)
@@ -103,7 +106,8 @@ class VideoSource:
                     break
                 ts = cap.get(self._cv2.CAP_PROP_POS_MSEC) / 1000.0
                 gray = self._cv2.cvtColor(frame, self._cv2.COLOR_BGR2GRAY)
-                gray = self._cv2.resize(gray, (w, h))
+                if self.size:
+                    gray = self._cv2.resize(gray, (w, h))
                 yield ts, gray
             cap.release()
 

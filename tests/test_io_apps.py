@@ -106,3 +106,42 @@ def test_run_offline_end_to_end(seq_file, tmp_path):
     times, poses = read_trajectory(traj)
     assert len(times) == 40
     assert np.isfinite(poses).all()
+
+
+def test_run_slam_video_input(tmp_path):
+    """Video-file input: decode (host) -> image-domain detection ->
+    PnP -> MEKF — the reference's primary input path (reference
+    main/run_slam.py:96-121). Skipped when no video backend exists."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from aruco_slam_tpu.bench import render, synthetic
+    from aruco_slam_tpu.core import camera as cam_mod
+
+    size = (960, 540)
+    k = np.array([[707.0, 0.0, 480.0], [0.0, 707.0, 270.0],
+                  [0.0, 0.0, 1.0]])
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k), jnp.zeros(5))
+    scene = synthetic.make_wall_scene(num_markers=8, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=6)
+    frames = np.asarray(render.render_sequence(
+        scene, traj, cam, image_size=size))
+    vpath = tmp_path / "seq.mp4"
+    vw = cv2.VideoWriter(str(vpath), cv2.VideoWriter_fourcc(*"mp4v"),
+                         30, size)
+    for g in frames:
+        vw.write(cv2.cvtColor(g, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    from aruco_slam_tpu.apps import run_slam
+    tfile, mfile = tmp_path / "traj.txt", tmp_path / "map.txt"
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    np.save(calib / "camera_matrix.npy", k)
+    np.save(calib / "dist_coeffs.npy", np.zeros(5))
+    run_slam.main(["--input", str(vpath), "--calib", str(calib),
+                   "--trajectory", str(tfile), "--map", str(mfile)])
+    times, poses = read_trajectory(tfile)
+    assert len(times) == 6
+    assert np.isfinite(poses).all()
+    ids, _, _ = load_map(mfile)
+    assert len(ids) >= 1
