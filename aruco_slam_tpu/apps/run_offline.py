@@ -70,6 +70,7 @@ def main(argv=None) -> None:
                        pixel_sigma=cfg.pixel_sigma,
                        focal_px=float(cam.fx),
                        marker_size=cfg.marker_size,
+                       huber_delta=cfg.huber_delta,
                        meas_sigma_t=cfg.meas_sigma_t,
                        odom_sigma_t=cfg.odom_sigma_t,
                        odom_sigma_rot=cfg.odom_sigma_rot)

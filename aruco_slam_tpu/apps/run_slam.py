@@ -127,7 +127,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                       q_vel=cfg.mekf_q_vel,
                       pixel_sigma=cfg.pixel_sigma,
                       focal_px=float(cam.fx),
-                      marker_size=cfg.marker_size)
+                      marker_size=cfg.marker_size,
+                      gate_distance=cfg.gate_distance)
     state = init_state(fcfg)
     if load_map_file:
         from aruco_slam_tpu.io import load_map as _load
@@ -167,7 +168,8 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                        odom_sigma_rot=cfg.odom_sigma_rot,
                        pixel_sigma=cfg.pixel_sigma,
                        focal_px=float(cam.fx),
-                       marker_size=cfg.marker_size)
+                       marker_size=cfg.marker_size,
+                       huber_delta=cfg.huber_delta)
     state = init_graph(gcfg)
     cam_traj = np.zeros((t, 7))
     for i in range(t):
@@ -235,6 +237,11 @@ def main(argv=None) -> None:
                         "covariance in both backends; 0 = constant R "
                         "(reference behavior)")
     p.add_argument("--mekf-q-vel", type=float, default=dflt.mekf_q_vel)
+    p.add_argument("--gate-distance", type=float,
+                   default=dflt.gate_distance,
+                   help="MEKF innovation gate (m); 0 = off")
+    p.add_argument("--huber-delta", type=float, default=dflt.huber_delta,
+                   help="robust BA loss delta (whitened); 0 = plain LS")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -251,7 +258,9 @@ def main(argv=None) -> None:
         mekf_q_rot=args.mekf_q_rot, mekf_q_lm=args.mekf_q_lm,
         mekf_motion_model=args.mekf_motion_model,
         pixel_sigma=args.pixel_sigma,
-        mekf_q_vel=args.mekf_q_vel)
+        mekf_q_vel=args.mekf_q_vel,
+        gate_distance=args.gate_distance,
+        huber_delta=args.huber_delta)
     from pathlib import Path
     if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
         src = None

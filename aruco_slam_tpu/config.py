@@ -78,3 +78,8 @@ class SlamAppConfig:
     # in BOTH backends (filters/mekf.py pixel_sigma, graph/ba.py
     # per-factor sigmas); 0 = constant-R reference behavior
     pixel_sigma: float = 1.0
+    # MEKF innovation gate (m): drop observations of known landmarks
+    # whose position residual exceeds this; 0 = off
+    gate_distance: float = 1.0
+    # Huber delta (whitened units) for robust BA factors; 0 = plain LS
+    huber_delta: float = 2.0

@@ -148,6 +148,13 @@ class MekfConfig(NamedTuple):
     pixel_sigma: float = 0.0
     focal_px: float = 1414.9     # reference calibration fx
     marker_size: float = 0.16    # reference marker side (m)
+    # fused innovation gate: observations of an already-active landmark
+    # whose camera-frame position residual exceeds this (meters) are
+    # dropped from the update (0 = off). In-step equivalent of the
+    # standalone `innovation_gate` helper, so the gated `lax.scan` path
+    # needs no per-frame Python. New landmarks always pass (their
+    # residual is ~0 by construction).
+    gate_distance: float = 0.0
 
     @property
     def lm_dims(self) -> int:
@@ -484,6 +491,12 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
         z = jnp.concatenate([t_cl, q_obs], axis=-1)
     else:
         z = t_cl
+
+    if cfg.gate_distance > 0.0:
+        # state.active is the PRE-activation mask: gate only landmarks
+        # that existed before this frame
+        pos_resid = jnp.linalg.norm(z[:, :3] - h_all[:, :3], axis=-1)
+        mask = mask & (~state.active | (pos_resid < cfg.gate_distance))
 
     w = mask[:, None].astype(dt)  # (C, 1) measurement-row mask
     resid_rows = (z - h_all) * w  # (C, md)

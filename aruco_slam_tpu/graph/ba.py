@@ -70,6 +70,11 @@ class GraphConfig(NamedTuple):
     # Levenberg-Marquardt (reference factor_graph.py:334-336)
     lm_init_lambda: float = 1e-4
     lm_factor: float = 4.0
+    # robust (Huber) loss on measurement factors: whitened residuals
+    # beyond `huber_delta` are IRLS-downweighted by sqrt(delta/|r|)
+    # (0 = plain least squares, the reference's behavior — GTSAM
+    # supports robust noise models but the reference never enables one)
+    huber_delta: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
 
@@ -246,6 +251,13 @@ def _meas_terms(cfg: GraphConfig, state: GraphState, pose_free
 
     r_m, jp_m, jl_m = jax.vmap(meas_all)(fq, ft, fl, state.f_tcl,
                                          state.f_sig)
+    if cfg.huber_delta > 0.0:
+        rn = jnp.linalg.norm(r_m, axis=-1)
+        wgt = jnp.sqrt(jnp.minimum(
+            1.0, cfg.huber_delta / jnp.maximum(rn, 1e-12))).astype(dt)
+        r_m = r_m * wgt[:, None]
+        jp_m = jp_m * wgt[:, None, None]
+        jl_m = jl_m * wgt[:, None, None]
     valid = state.f_valid
     r_m = jnp.where(valid[:, None], r_m, 0.0)
     jp_m = jnp.where((valid & pose_free[state.f_pose])[:, None, None],
@@ -395,6 +407,10 @@ def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
         lambda q, t, l, tcl, sig: _meas_residual(
             z6, z3, q, t, l, tcl, sig)
     )(fq, ft, fl, state.f_tcl, state.f_sig)
+    if cfg.huber_delta > 0.0:
+        rn = jnp.linalg.norm(r_m, axis=-1)
+        r_m = r_m * jnp.sqrt(jnp.minimum(
+            1.0, cfg.huber_delta / jnp.maximum(rn, 1e-12)))[:, None]
     r_m = jnp.where(state.f_valid[:, None], r_m, 0.0)
     tcap = cfg.max_poses
     idx_a = jnp.arange(1, tcap)

@@ -178,3 +178,34 @@ def test_depth_scaled_factor_whitening_improves_fit():
         errs[ps] = ate.ate_rmse(
             np.asarray(st.pose_t[:40]), traj.cam_t)
     assert errs[1.0] <= errs[0.0] * 1.05, errs
+
+
+def test_huber_robust_ba_shrugs_off_outliers():
+    """With huber_delta set, a handful of gross outlier factors must
+    not drag the solution; plain least squares gets visibly worse."""
+    import jax.numpy as jnp
+    from aruco_slam_tpu.bench import ate, synthetic
+
+    scene = synthetic.make_wall_scene(num_markers=8, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=30)
+    obs = synthetic.observe_poses(scene, traj, 8, fov_limit=0.75, seed=7)
+    t_cl = obs.t_cl.copy()
+    rng = np.random.default_rng(0)
+    for f in rng.choice(30, 5, replace=False):  # 5 outlier frames
+        j = rng.integers(0, 8)
+        if obs.mask[f, j]:
+            t_cl[f, j] += rng.normal(scale=2.0, size=3)
+    errs = {}
+    for hd in (0.0, 2.0):
+        cfg = GraphConfig(max_poses=32, max_landmarks=8,
+                          max_factors=int(obs.mask.sum()) + 4,
+                          meas_sigma_t=0.02, odom_sigma_t=1.0,
+                          odom_sigma_rot=1.0, huber_delta=hd)
+        st = init_graph(cfg)
+        for i in range(30):
+            st = add_frame(cfg, st, jnp.asarray(t_cl[i]),
+                           jnp.asarray(obs.mask[i]))
+        st, cost = batch_optimize(cfg, st, iters=30)
+        assert np.isfinite(float(cost))
+        errs[hd] = ate.ate_rmse(np.asarray(st.pose_t[:30]), traj.cam_t)
+    assert errs[2.0] < errs[0.0] * 0.8, errs

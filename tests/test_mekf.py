@@ -338,3 +338,28 @@ def test_depth_scaled_measurement_covariance():
     _, _, seq_r = make_obs_seq(cfg_r, frames=60, markers=8)
     final_r, traj_r = mekf_scan(cfg_r, init_state(cfg_r), seq_r)
     assert np.isfinite(np.asarray(traj_r)).all()
+
+
+def test_fused_innovation_gate_rejects_outlier():
+    """A wild outlier observation of a known landmark must not move
+    the state when gate_distance is set — and must corrupt it when the
+    gate is off (sanity that the gate is doing the work)."""
+    import jax
+    base = MekfConfig(capacity=8, dtype=jnp.float64, r_uncertainty=1e-3)
+    _, traj, seq = make_obs_seq(base, frames=20, markers=6)
+    res = {}
+    for gate in (0.0, 1.0):
+        cfg = base._replace(gate_distance=gate)
+        st, _ = mekf_scan(cfg, init_state(cfg), seq)
+        # outlier: known landmark 0 reported 5 m off
+        bad = FrameObservations(
+            t_cl=jnp.asarray(seq.t_cl[-1]).at[0].add(
+                jnp.asarray([5.0, 0.0, 0.0])),
+            q_cl=seq.q_cl[-1], mask=seq.mask[-1] | (jnp.arange(8) == 0))
+        nxt = mekf_step(cfg, st, bad)
+        res[gate] = np.linalg.norm(
+            np.asarray(nxt.cam_t) - np.asarray(st.cam_t))
+    # the gated step still moves a little (the frame's other, valid
+    # observations update the camera); the outlier's 5 m kick must not
+    assert res[1.0] < 0.05, res
+    assert res[0.0] > 10 * res[1.0], res
