@@ -58,11 +58,11 @@ def main(argv=None) -> None:
     from pathlib import Path
     if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
         src = None
-        times, t_cl, q_cl, mask, cam = load_video_observations(
+        times, t_cl, q_cl, mask, cam, _amb = load_video_observations(
             cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
+        times, t_cl, q_cl, mask, cam, _amb = load_observations(src, cfg)
 
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],

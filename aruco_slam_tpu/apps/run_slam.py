@@ -52,12 +52,14 @@ def _observations_from_images(images, times, cam, cfg: SlamAppConfig,
             jnp.asarray(images[s:s + chunk]), dcfg)
         res = pnp.solve_square_pnp(cam, det.corners, cfg.marker_size)
         mask = det.mask & (res.err < cfg.max_reproj_px)
+        amb = res.err / jnp.maximum(res.err2, 1e-9)
         outs.append((np.asarray(res.t_cl), np.asarray(res.q_cl),
-                     np.asarray(mask)))
+                     np.asarray(mask), np.asarray(amb)))
     t_cl = np.concatenate([o[0] for o in outs])
     q_cl = np.concatenate([o[1] for o in outs])
     mask = np.concatenate([o[2] for o in outs])
-    return times, t_cl, q_cl, mask, cam
+    amb = np.concatenate([o[3] for o in outs])
+    return times, t_cl, q_cl, mask, cam, amb
 
 
 def load_camera(cfg: SlamAppConfig, calib_dir=None):
@@ -107,16 +109,19 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
             cam, jnp.asarray(src["corners"]), marker_size)
         mask = jnp.asarray(src["corner_mask"]) \
             & (res.err < cfg.max_reproj_px)
+        amb = res.err / jnp.maximum(res.err2, 1e-9)
         return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
-                np.asarray(mask), cam)
+                np.asarray(mask), cam, np.asarray(amb))
     if src.has("t_cl"):
-        return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam)
+        return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam,
+                None)
     raise ValueError(
         f"{src.path}: no 'images', 'corners', or 't_cl' observations")
 
 
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
-             with_rotations: bool, viewers=(), load_map_file=None):
+             with_rotations: bool, viewers=(), load_map_file=None,
+             ambiguity=None):
     fcfg = MekfConfig(capacity=t_cl.shape[1],
                       with_rotations=with_rotations,
                       r_uncertainty=cfg.mekf_r,
@@ -135,8 +140,9 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         from aruco_slam_tpu.filters.mekf import preload_map
         ids, pos, unc = _load(load_map_file)
         state = preload_map(fcfg, state, ids, pos, unc)
-    seq = FrameObservations(jnp.asarray(t_cl), jnp.asarray(q_cl),
-                            jnp.asarray(mask))
+    seq = FrameObservations(
+        jnp.asarray(t_cl), jnp.asarray(q_cl), jnp.asarray(mask),
+        None if ambiguity is None else jnp.asarray(ambiguity))
     if not viewers:
         t0 = time.perf_counter()
         state, cam_traj = mekf_scan(fcfg, state, seq)
@@ -148,7 +154,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         cam_traj = np.zeros((len(times), 7))
         for i in range(len(times)):
             state = mekf_step(fcfg, state, FrameObservations(
-                seq.t_cl[i], seq.q_cl[i], seq.mask[i]))
+                seq.t_cl[i], seq.q_cl[i], seq.mask[i],
+                None if seq.ambiguity is None else seq.ambiguity[i]))
             cam_traj[i] = np.asarray(mekf_mod.camera_pose(state))
             _feed_viewers(viewers, cam_traj[i], state.lm,
                           state.active, t_cl[i], q_cl[i], mask[i])
@@ -264,11 +271,11 @@ def main(argv=None) -> None:
     from pathlib import Path
     if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
         src = None
-        times, t_cl, q_cl, mask, cam = load_video_observations(
+        times, t_cl, q_cl, mask, cam, amb = load_video_observations(
             cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam = load_observations(src, cfg)
+        times, t_cl, q_cl, mask, cam, amb = load_observations(src, cfg)
 
     viewers = []
     if cfg.viz_3d:
@@ -307,7 +314,8 @@ def main(argv=None) -> None:
         cam_traj, active, lm, unc = run_mekf(
             cfg, times, t_cl, q_cl, mask, cam,
             with_rotations=(cfg.filter == "mekf_rotations"),
-            viewers=viewers, load_map_file=args.load_map)
+            viewers=viewers, load_map_file=args.load_map,
+            ambiguity=amb)
     else:
         cam_traj, active, lm, unc = run_factorgraph(
             cfg, times, t_cl, q_cl, mask, cam, viewers=viewers)

@@ -204,6 +204,12 @@ class FrameObservations(NamedTuple):
     t_cl: jnp.ndarray
     q_cl: jnp.ndarray
     mask: jnp.ndarray
+    # optional (C,) planar-PnP ambiguity ratio err_best/err_other in
+    # [0, 1]: near 1 means the IPPE two-fold tilt ambiguity was a coin
+    # toss and the measured ROTATION is unreliable (the position is
+    # stable across both basins). Used to de-weight rotation rows in
+    # rotation mode; None = assume unambiguous.
+    ambiguity: jnp.ndarray | None = None
 
 
 def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
@@ -263,7 +269,7 @@ def _h_pose(eps_c, eps_l, cam_t, cam_q, lm_t, lm_q):
     return jnp.concatenate([xyz_cl, q_cl])
 
 
-def _meas_variances(cfg: MekfConfig, t_cl):
+def _meas_variances(cfg: MekfConfig, t_cl, ambiguity=None):
     """Per-observation measurement variances.
 
     Returns (r_rows (C, md), r_init (C, zdim)): the measurement-row
@@ -289,8 +295,14 @@ def _meas_variances(cfg: MekfConfig, t_cl):
     r_pos = jnp.stack([var_xy, var_xy, var_z], axis=-1)
     if not cfg.with_rotations:
         return r_pos.astype(dt), r_pos.astype(dt)
-    sig_th = cfg.pixel_sigma * depth / (cfg.focal_px * cfg.marker_size)
+    # attitude error of planar PnP: ~3x the naive px*z/(f*s) law
+    # (Monte-Carlo calibrated), and effectively unbounded when the
+    # IPPE ambiguity ratio approaches 1 — tilt flips are not Gaussian,
+    # so ambiguous rotations are de-weighted out of the update
+    sig_th = 3.0 * cfg.pixel_sigma * depth / (cfg.focal_px * cfg.marker_size)
     var_q = jnp.maximum(sig_th * sig_th, 1e-8)
+    if ambiguity is not None:
+        var_q = var_q * jnp.where(ambiguity > 0.6, 1e6, 1.0)
     r_rows = jnp.concatenate(
         [r_pos, jnp.tile(var_q[:, None], (1, 4))], axis=-1)
     r_init = jnp.concatenate(
@@ -434,7 +446,10 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
 
     lm_new_dims = jnp.repeat(new, le)  # (C*le,)
     new_dims = jnp.concatenate([jnp.zeros(ce, bool), lm_new_dims])
-    r_rows, r_init = _meas_variances(cfg, t_cl)
+    amb = None
+    if obs.ambiguity is not None:
+        amb = jnp.where(mask, obs.ambiguity.astype(dt), 0.0)
+    r_rows, r_init = _meas_variances(cfg, t_cl, amb)
     if cfg.consistent_init:
         cov = _augment_consistent(cfg, state, new, new_dims, t_cl, q_cl,
                                   r_init)

@@ -363,3 +363,39 @@ def test_fused_innovation_gate_rejects_outlier():
     # observations update the camera); the outlier's 5 m kick must not
     assert res[1.0] < 0.05, res
     assert res[0.0] > 10 * res[1.0], res
+
+
+def test_ambiguity_deweights_unreliable_rotations():
+    """Rotation measurements flagged as IPPE-ambiguous (err ratio ~1)
+    must not poison the rotations-mode filter: flipping the observed
+    marker rotation on ambiguous observations should barely move the
+    trajectory when ambiguity is supplied."""
+    cfg = MekfConfig(capacity=16, with_rotations=True, motion_model="cv",
+                     q_uncertainty_lm=0.0, pixel_sigma=1.0,
+                     dtype=jnp.float64)
+    _, traj, seq = make_obs_seq(cfg, frames=80, markers=8)
+    # corrupt rotations on every 4th frame's observations (tilt flip),
+    # as the IPPE ambiguity does at range
+    rng = np.random.default_rng(0)
+    q = np.asarray(seq.q_cl).copy()
+    bad = np.zeros(seq.mask.shape, bool)
+    bad[::4] = np.asarray(seq.mask)[::4]
+    flip = np.concatenate(  # ~40 deg tilt error
+        [np.full((*q.shape[:2], 1), np.cos(0.35)),
+         np.full((*q.shape[:2], 2), 0.0),
+         np.full((*q.shape[:2], 1), np.sin(0.35))], axis=-1)
+    from aruco_slam_tpu.core import quaternion as quat
+    qj = jnp.asarray(q)
+    q_bad = np.where(bad[..., None], np.asarray(
+        quat.multiply(jnp.asarray(flip), qj)), q)
+    amb = np.where(bad, 0.95, 0.05)
+    errs = {}
+    for use_amb in (False, True):
+        s = FrameObservations(
+            seq.t_cl, jnp.asarray(q_bad), seq.mask,
+            jnp.asarray(amb) if use_amb else None)
+        _, cam_traj = mekf_scan(cfg, init_state(cfg), s)
+        errs[use_amb] = ate.ate_rmse(
+            np.asarray(cam_traj)[:, :3], traj.cam_t)
+    assert errs[True] < errs[False], errs
+    assert errs[True] < 0.05, errs
