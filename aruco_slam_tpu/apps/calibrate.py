@@ -9,6 +9,12 @@ artifacts ``camera_matrix.npy`` + ``dist_coeffs.npy``
 
     python -m aruco_slam_tpu.apps.calibrate --images board_views.npz \
         --grid 4x3 --marker-size 0.05 --gap 0.015 --out calibration/
+
+    # the reference's exact board: 7x5 ChArUco, 30/15 mm, AprilTag
+    # 36h11 (reference calibration/charuco_calibration.py:12-16)
+    python -m aruco_slam_tpu.apps.calibrate --images views.npz \
+        --board charuco --grid 7x5 --square-size 0.03 \
+        --marker-size 0.015 --dict apriltag_36h11 --out calibration/
 """
 
 from __future__ import annotations
@@ -28,18 +34,30 @@ def main(argv=None) -> None:
     p.add_argument("--images", required=True,
                    help=".npz with 'images' (V,H,W) uint8, or a "
                         "directory of image files")
-    p.add_argument("--grid", default="4x3", help="board grid nx x ny")
+    p.add_argument("--board", choices=["grid", "charuco"],
+                   default="grid",
+                   help="marker grid board or ChArUco chessboard "
+                        "(the reference's board type)")
+    p.add_argument("--grid", default="4x3",
+                   help="markers nx x ny (grid) or squares nx x ny "
+                        "(charuco)")
     p.add_argument("--marker-size", type=float, default=0.05)
-    p.add_argument("--gap", type=float, default=0.015)
+    p.add_argument("--gap", type=float, default=0.015,
+                   help="marker gap (grid boards)")
+    p.add_argument("--square-size", type=float, default=0.03,
+                   help="chessboard square side (charuco boards)")
     p.add_argument("--dict", dest="dict_name",
                    default=dictionary.DICT_5X5_50)
     p.add_argument("--out", default="calibration")
     p.add_argument("--iters", type=int, default=60)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # offline tool on tiny problems: run the LM in f64 (the reference's
+    # cv2.calibrateCameraCharuco is f64 too)
+    jax.config.update("jax_enable_x64", True)
 
     path = Path(args.images)
     if path.suffix == ".npz":
@@ -53,18 +71,42 @@ def main(argv=None) -> None:
     v, h, w = images.shape
 
     nx, ny = (int(x) for x in args.grid.split("x"))
-    board = cal.grid_board(nx, ny, args.marker_size, args.gap)
+    if args.board == "charuco":
+        # the reference's actual board: chessboard + markers, corners
+        # interpolated then refined (reference
+        # calibration/charuco_calibration.py:12-16,59-70)
+        cboard = cal.charuco_board(nx, ny, args.square_size,
+                                   args.marker_size)
+        board = cboard.layout
+    else:
+        cboard = None
+        board = cal.grid_board(nx, ny, args.marker_size, args.gap)
     m = len(board.ids)
 
     dcfg = detect.DetectorConfig(dict_name=args.dict_name,
-                                 capacity=max(64, m))
+                                 capacity=max(64, int(board.ids.max()) + 1))
     det = detect.detect_markers_batch(jnp.asarray(images), dcfg)
     corners = np.asarray(det.corners)[:, board.ids]   # (V, M, 4, 2)
     mask = np.asarray(det.mask)[:, board.ids]
     print(f"{v} views, detections per view: "
           f"{mask.sum(-1).tolist()}")
 
-    res = cal.calibrate(board, corners, mask, (w, h), iters=args.iters)
+    if cboard is not None:
+        chess_px, chess_mask = cal.interpolate_chess_corners(
+            cboard, corners, mask)
+        for i in range(v):
+            if chess_mask[i].any():
+                ref = np.asarray(detect.refine_corners(
+                    jnp.asarray(images[i], jnp.float32),
+                    jnp.asarray(chess_px[i], jnp.float32)))
+                chess_px[i][chess_mask[i]] = ref[chess_mask[i]]
+        print(f"chess corners per view: {chess_mask.sum(-1).tolist()}")
+        res = cal.calibrate_charuco(cboard, corners, mask, chess_px,
+                                    chess_mask, (w, h),
+                                    iters=args.iters)
+    else:
+        res = cal.calibrate(board, corners, mask, (w, h),
+                            iters=args.iters)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     np.save(out / "camera_matrix.npy", res.camera_matrix)

@@ -384,3 +384,17 @@ def detect_markers_batch(images: jnp.ndarray, cfg: DetectorConfig
                          ) -> Detections:
     """vmapped detection over a leading batch axis (B, H, W)."""
     return jax.vmap(lambda im: detect_markers(im, cfg))(images)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def refine_corners(image: jnp.ndarray, corners: jnp.ndarray,
+                   half: int = 5, iters: int = 8) -> jnp.ndarray:
+    """Public batched subpixel refinement of point features on one
+    grayscale frame: corners (N, 2) → (N, 2). The structure-tensor
+    iteration is cv2.cornerSubPix's math, which converges to both
+    marker (edge) corners and chessboard saddle points — used by the
+    ChArUco calibration path (ops/calibrate.py) the way the
+    reference's CharucoDetector refines interpolated corners
+    (reference calibration/charuco_calibration.py:59-61)."""
+    return _subpix_refine(image.astype(jnp.float32), corners, half,
+                          iters)

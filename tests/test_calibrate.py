@@ -79,3 +79,108 @@ def test_matches_cv2_calibrate():
     np.testing.assert_allclose(res.camera_matrix[0, 2], k_cv[0, 2],
                                atol=6)
     assert res.rms_px < rms * 1.5 + 0.1
+
+
+# ---------------------------------------------------------------------------
+# ChArUco: the reference's actual calibration board (reference
+# calibration/charuco_calibration.py:12-16 — 7x5 squares, 30/15 mm,
+# DICT_APRILTAG_36h11), exercised image-domain end to end:
+# render -> detect markers -> interpolate chessboard corners ->
+# subpixel refine -> calibrate on the chess corners.
+
+
+def make_charuco_views(n_views=8, seed=0, size=(1280, 720)):
+    from aruco_slam_tpu.bench import render
+    from aruco_slam_tpu.ops import dictionary
+
+    board = calibrate.charuco_board(7, 5, 0.03, 0.015)
+    d = dictionary.load(dictionary.DICT_APRILTAG_36H11)
+    bmp = render.charuco_bitmap(board, d, px_per_square=96)
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(K_TRUE),
+                                          jnp.asarray(DIST_TRUE))
+    rng = np.random.default_rng(seed)
+    ex, ey = 7 * 0.03, 5 * 0.03
+    center = np.array([ex / 2, ey / 2, 0.0])
+    flip = Rotation.from_euler("x", np.pi).as_matrix()  # face the cam
+    poses = []
+    for _ in range(n_views):
+        rot = Rotation.from_euler(
+            "xyz", rng.uniform(-0.35, 0.35, 3)).as_matrix() @ flip
+        dist = rng.uniform(0.30, 0.42)
+        t = np.array([rng.uniform(-0.02, 0.02),
+                      rng.uniform(-0.02, 0.02), dist]) - rot @ center
+        poses.append(np.concatenate(
+            [Rotation.from_matrix(rot).as_rotvec(), t]))
+    views = render.render_plane_views(bmp, (ex, ey), cam,
+                                      np.asarray(poses), size)
+    return board, views
+
+
+def detect_board(board, views):
+    from aruco_slam_tpu.ops import detect, dictionary
+
+    cfg = detect.DetectorConfig(
+        dict_name=dictionary.DICT_APRILTAG_36H11, capacity=32,
+        max_candidates=48, downscale=2, min_area=25)
+    det = detect.detect_markers_batch(jnp.asarray(views), cfg)
+    mask = np.asarray(det.mask)[:, board.layout.ids]
+    corners = np.asarray(det.corners)[:, board.layout.ids]
+    return corners, mask
+
+
+def test_charuco_end_to_end():
+    from aruco_slam_tpu.ops import detect
+
+    board, views = make_charuco_views()
+    corners, mask = detect_board(board, views)
+    assert (mask.sum(-1) >= 12).all(), mask.sum(-1)
+
+    chess_px, chess_mask = calibrate.interpolate_chess_corners(
+        board, corners, mask)
+    assert (chess_mask.sum(-1) >= 15).all(), chess_mask.sum(-1)
+    for i in range(len(views)):
+        ref = np.asarray(detect.refine_corners(
+            jnp.asarray(views[i], jnp.float32),
+            jnp.asarray(chess_px[i], jnp.float32)))
+        chess_px[i][chess_mask[i]] = ref[chess_mask[i]]
+
+    res = calibrate.calibrate_charuco(board, corners, mask, chess_px,
+                                      chess_mask, SIZE, iters=60)
+    assert res.rms_px < 0.6, res.rms_px
+    np.testing.assert_allclose(res.camera_matrix[0, 0], 900.0,
+                               rtol=0.015)
+    np.testing.assert_allclose(res.camera_matrix[1, 1], 905.0,
+                               rtol=0.015)
+    np.testing.assert_allclose(res.camera_matrix[0, 2], 640.0, atol=6)
+    np.testing.assert_allclose(res.camera_matrix[1, 2], 360.0, atol=6)
+
+
+def test_charuco_interpolation_matches_cv2():
+    """Our interpolated chessboard corners vs cv2's CharucoDetector on
+    the same rendered views."""
+    import cv2
+
+    board, views = make_charuco_views(n_views=3, seed=5)
+    corners, mask = detect_board(board, views)
+    chess_px, chess_mask = calibrate.interpolate_chess_corners(
+        board, corners, mask)
+
+    cvdict = cv2.aruco.getPredefinedDictionary(
+        cv2.aruco.DICT_APRILTAG_36h11)
+    cvboard = cv2.aruco.CharucoBoard((7, 5), 0.03, 0.015, cvdict)
+    cvdet = cv2.aruco.CharucoDetector(cvboard)
+    checked = 0
+    for i in range(len(views)):
+        cc, cids, _, _ = cvdet.detectBoard(views[i])
+        if cids is None:
+            continue
+        cc = cc.reshape(-1, 2)
+        for k, cid in enumerate(cids.reshape(-1)):
+            # charuco_board uses cv2's interior-corner id order
+            # (row-major from the printed top-left)
+            if not chess_mask[i, int(cid)]:
+                continue
+            err = np.linalg.norm(chess_px[i, int(cid)] - cc[k])
+            assert err < 1.0, (i, cid, err)
+            checked += 1
+    assert checked > 30, checked
