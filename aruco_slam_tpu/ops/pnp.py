@@ -2,11 +2,12 @@
 
 TPU-native replacement for the reference's per-marker host loop around
 ``cv2.solvePnP(..., flags=SOLVEPNP_IPPE_SQUARE)`` (reference
-filters/base_filter.py:125-171). The whole pipeline is expressed as
-dense batched linear algebra — an (M, 8, 8) homography solve, a
-closed-form 2x2 spectral decomposition, an (M, 3, 3) translation solve
-and a fixed-iteration 6x6 Gauss-Newton polish — so M markers across B
-frames solve as one XLA computation with no data-dependent shapes.
+filters/base_filter.py:125-171). The whole pipeline — closed-form
+square homography, 2x2 spectral decomposition, 3x3 translation solve
+and a fixed-iteration 6x6 Gauss-Newton polish — is written in
+structure-of-arrays *scalar* form so M markers across B frames solve
+as ONE fused elementwise XLA program with no data-dependent shapes and
+no small trailing tensor dims (which the TPU tiler pads 42–57x).
 
 Method: "Infinitesimal Plane-based Pose Estimation" (IPPE), Collins &
 Bartoli 2014 — the same algorithm OpenCV's IPPE_SQUARE implements.
@@ -74,129 +75,211 @@ def homography_4pt(obj_xy: jnp.ndarray, img_xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
 
 
-def _rotation_to_ray(d: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix taking e_z to the unit vector d (Rodrigues).
-
-    Safe when d ≈ e_z (identity) — uses the (I + [k]x + [k]x²/(1+cosθ))
-    form, singular only at d = -e_z which cannot occur for a visible
-    plane point (positive depth).
-    """
-    c = d[2]
-    # [k]x with k = e_z × d = (-d1, d0, 0)
-    kx = jnp.array(
-        [[0.0, 0.0, d[0]],
-         [0.0, 0.0, d[1]],
-         [-d[0], -d[1], 0.0]], dtype=d.dtype)
-    return (jnp.eye(3, dtype=d.dtype) + kx
-            + kx @ kx / jnp.maximum(1.0 + c, 1e-6))
+def _safe_div(a, b, eps=_EPS):
+    return a / jnp.where(jnp.abs(b) < eps,
+                         jnp.where(b < 0, -eps, eps), b)
 
 
-def _ippe_rotations(h: jnp.ndarray):
-    """Both rotation solutions of IPPE from a normalized homography."""
-    h = h / h[2, 2]
-    u0, v0 = h[0, 2], h[1, 2]
-    # rotate the camera so the origin's ray is the optical axis
-    s = jnp.stack([u0, v0, jnp.ones((), h.dtype)])
-    d = s / jnp.linalg.norm(s)
-    rv = _rotation_to_ray(d)
-    # homography in the rotated camera: its image of the origin is
-    # (0, 0), so its 2x2 Jacobian at the origin is simply
-    # A = H'[0:2, 0:2] / H'[2, 2] with H' = Rvᵀ H.
-    hp = rv.T @ h
-    a = hp[:2, :2] / hp[2, 2]
-    # gamma = 1 / sigma_max(A); closed-form 2x2 spectral radius
-    g = a.T @ a
-    tr = g[0, 0] + g[1, 1]
-    det = g[0, 0] * g[1, 1] - g[0, 1] * g[1, 0]
+def _h_square_entries(s, u, v):
+    """Closed-form homography taking the canonical square corners
+    TL(−s,s) TR(s,s) BR(s,−s) BL(−s,−s) to the quad (u_k, v_k):
+    projective unit-square interpolation (Heckbert '89) composed with
+    the affine unit↔square map. Exact 4-point homography — replaces
+    the DLT 8x8 normal solve with ~40 batched-scalar ops and no
+    (…, 8, 8) tensors (TPU tile padding, see _gn_refine_entries)."""
+    sx = u[0] - u[1] + u[2] - u[3]
+    sy = v[0] - v[1] + v[2] - v[3]
+    dx1 = u[1] - u[2]
+    dy1 = v[1] - v[2]
+    dx2 = u[3] - u[2]
+    dy2 = v[3] - v[2]
+    den = dx1 * dy2 - dx2 * dy1
+    g = _safe_div(sx * dy2 - dx2 * sy, den)
+    hh = _safe_div(dx1 * sy - sx * dy1, den)
+    a = u[1] - u[0] + g * u[1]
+    b = u[3] - u[0] + hh * u[3]
+    c = u[0]
+    d = v[1] - v[0] + g * v[1]
+    e = v[3] - v[0] + hh * v[3]
+    f = v[0]
+    # unit-square H = [[a,b,c],[d,e,f],[g,hh,1]]; compose with
+    # x' = (x+s)/2s, y' = (s−y)/2s
+    k = 0.5 / s
+    return [[a * k, -b * k, 0.5 * a + 0.5 * b + c],
+            [d * k, -e * k, 0.5 * d + 0.5 * e + f],
+            [g * k, -hh * k, 0.5 * g + 0.5 * hh + 1.0]]
+
+
+def _ippe_rotations_entries(h):
+    """Both IPPE rotation solutions from a homography given as 3x3
+    scalar entries; returns two 3x3 scalar lists (SoA form of
+    Collins & Bartoli 2014, §IPPE)."""
+    inv22 = _safe_div(jnp.ones_like(h[2][2]), h[2][2])
+    h = [[h[i][j] * inv22 for j in range(3)] for i in range(3)]
+    u0, v0 = h[0][2], h[1][2]
+    # rotate the camera so the origin's ray is the optical axis:
+    # rv = I + [k]ₓ + [k]ₓ²/(1+cosθ), k = e_z × d, d = (u0,v0,1)/‖·‖
+    nrm = jnp.sqrt(u0 * u0 + v0 * v0 + 1.0)
+    d0, d1, c = u0 / nrm, v0 / nrm, 1.0 / nrm
+    m = 1.0 / jnp.maximum(1.0 + c, 1e-6)
+    rv = [[1.0 - d0 * d0 * m, -d0 * d1 * m, d0],
+          [-d0 * d1 * m, 1.0 - d1 * d1 * m, d1],
+          [-d0, -d1, 1.0 - (d0 * d0 + d1 * d1) * m]]
+    # hp = rvᵀ h; 2x2 Jacobian at the rotated origin A = hp[:2,:2]/hp22
+    hp = [[rv[0][i] * h[0][j] + rv[1][i] * h[1][j]
+           + rv[2][i] * h[2][j] for j in range(3)] for i in range(3)]
+    ihp22 = _safe_div(jnp.ones_like(hp[2][2]), hp[2][2])
+    a00, a01 = hp[0][0] * ihp22, hp[0][1] * ihp22
+    a10, a11 = hp[1][0] * ihp22, hp[1][1] * ihp22
+    # gamma = 1/σ_max(A); closed-form 2x2 spectral radius of AᵀA
+    g00 = a00 * a00 + a10 * a10
+    g01 = a00 * a01 + a10 * a11
+    g11 = a01 * a01 + a11 * a11
+    tr = g00 + g11
+    det = g00 * g11 - g01 * g01
     disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
-    sig_max_sq = 0.5 * (tr + disc)
-    gamma = 1.0 / jnp.sqrt(jnp.maximum(sig_max_sq, _EPS))
-    ga = gamma * a
+    gamma = 1.0 / jnp.sqrt(jnp.maximum(0.5 * (tr + disc), _EPS))
     gg = gamma * gamma
-    c1 = jnp.sqrt(jnp.maximum(1.0 - gg * g[0, 0], 0.0))
-    c2m = jnp.sqrt(jnp.maximum(1.0 - gg * g[1, 1], 0.0))
-    c2 = jnp.where(g[0, 1] > 0, -c2m, c2m)  # c1*c2 = -gamma² g12
+    ga00, ga01 = gamma * a00, gamma * a01
+    ga10, ga11 = gamma * a10, gamma * a11
+    c1 = jnp.sqrt(jnp.maximum(1.0 - gg * g00, 0.0))
+    c2m = jnp.sqrt(jnp.maximum(1.0 - gg * g11, 0.0))
+    c2 = jnp.where(g01 > 0, -c2m, c2m)  # c1*c2 = −gamma² g01
 
     def build(c1v, c2v):
-        col1 = jnp.stack([ga[0, 0], ga[1, 0], c1v])
-        col2 = jnp.stack([ga[0, 1], ga[1, 1], c2v])
-        col3 = jnp.cross(col1, col2)
-        rp = jnp.stack([col1, col2, col3], axis=-1)
-        return rv @ rp
+        # rp columns: (γA col1, γA col2, col1 × col2); r = rv @ rp
+        cx = ga10 * c2v - c1v * ga11
+        cy = c1v * ga01 - ga00 * c2v
+        cz = ga00 * ga11 - ga10 * ga01
+        rp = [[ga00, ga01, cx], [ga10, ga11, cy], [c1v, c2v, cz]]
+        return [[rv[i][0] * rp[0][j] + rv[i][1] * rp[1][j]
+                 + rv[i][2] * rp[2][j] for j in range(3)]
+                for i in range(3)]
 
     return build(c1, c2), build(-c1, -c2)
 
 
-def _solve_translation(r: jnp.ndarray, obj: jnp.ndarray,
-                       img_xy: jnp.ndarray) -> jnp.ndarray:
-    """Least-squares translation given rotation: for each point,
-    (r1·X + t1) − u (r3·X + t3) = 0 and likewise for v — 8 linear
-    equations in t, solved via 3x3 normal equations."""
-    rx = obj @ r.T  # (4, 3) rotated object points
-    u = img_xy[:, 0]
-    v = img_xy[:, 1]
-    ones = jnp.ones_like(u)
-    zeros = jnp.zeros_like(u)
-    a = jnp.concatenate([
-        jnp.stack([ones, zeros, -u], axis=-1),
-        jnp.stack([zeros, ones, -v], axis=-1),
-    ], axis=0)  # (8, 3)
-    b = jnp.concatenate([u * rx[:, 2] - rx[:, 0],
-                         v * rx[:, 2] - rx[:, 1]], axis=0)
-    return small.solve_normal(a, b)
+def _rx_entries(rr, ox, oy, k):
+    """Rotated object point R X_k for the z = 0 corner k."""
+    return (rr[0][0] * ox[k] + rr[0][1] * oy[k],
+            rr[1][0] * ox[k] + rr[1][1] * oy[k],
+            rr[2][0] * ox[k] + rr[2][1] * oy[k])
 
 
-def _reproj_rms_normalized(r, t, obj, img_xy):
-    pts = obj @ r.T + t
-    z = jnp.maximum(pts[:, 2], 1e-6)
-    proj = pts[:, :2] / z[:, None]
-    # penalize non-positive depth so such solutions always lose
-    penalty = jnp.sum(jnp.maximum(0.3 - pts[:, 2], 0.0)) * 1e3
-    return jnp.sqrt(jnp.mean(jnp.sum((proj - img_xy) ** 2, -1))) + penalty
+def _solve_translation_entries(rr, ox, oy, u, v):
+    """Least-squares translation given rotation: per point,
+    (r1·X + t1) − u (r3·X + t3) = 0 and likewise for v — 3x3 normal
+    equations assembled and Cholesky-solved entirely in scalars."""
+    one = jnp.ones_like(u[0])
+    n00 = 4.0 * one
+    n02 = -(u[0] + u[1] + u[2] + u[3])
+    n12 = -(v[0] + v[1] + v[2] + v[3])
+    n22 = sum(u[k] * u[k] + v[k] * v[k] for k in range(4))
+    b0 = jnp.zeros_like(u[0])
+    b1 = jnp.zeros_like(u[0])
+    b2 = jnp.zeros_like(u[0])
+    for k in range(4):
+        rxx, rxy, rxz = _rx_entries(rr, ox, oy, k)
+        bu = u[k] * rxz - rxx
+        bv = v[k] * rxz - rxy
+        b0 = b0 + bu
+        b1 = b1 + bv
+        b2 = b2 - u[k] * bu - v[k] * bv
+    zero = jnp.zeros_like(u[0])
+    t = small.solve_spd_entries(
+        [[n00], [zero, n00], [n02, n12, n22]], [b0, b1, b2])
+    return list(t)
 
 
-def _gn_refine(r, t, obj, img_xy, iters: int, damping: float = 1e-9):
+def _reproj_rms_entries(rr, tt, ox, oy, u, v):
+    """RMS normalized reprojection error + non-positive-depth penalty
+    (so such solutions always lose the ambiguity vote)."""
+    e2 = 0.0
+    pen = 0.0
+    for k in range(4):
+        rxx, rxy, rxz = _rx_entries(rr, ox, oy, k)
+        pz = rxz + tt[2]
+        z = jnp.maximum(pz, 1e-6)
+        x = (rxx + tt[0]) / z
+        y = (rxy + tt[1]) / z
+        e2 = e2 + (x - u[k]) ** 2 + (y - v[k]) ** 2
+        pen = pen + jnp.maximum(0.3 - pz, 0.0)
+    return jnp.sqrt(e2 * 0.25) + pen * 1e3
+
+
+def _gn_refine_entries(rr, tt, ox, oy, uo, vo, iters: int,
+                       damping: float = 1e-9):
     """Fixed-iteration damped Gauss-Newton on the normalized-coordinate
     reprojection residual; parameters are [δθ (left rotvec), δt].
 
     Jacobians are analytic — for p = Exp(δθ) R X + (t + δt):
         ∂π/∂p = [[1/z, 0, −x/z²], [0, 1/z, −y/z²]],
-        ∂p/∂δθ = −[R X]ₓ,   ∂p/∂δt = I
-    — so each iteration is a handful of fused elementwise ops plus an
-    unrolled 6x6 SPD solve (no AD re-evaluation of the projection).
+        ∂p/∂δθ = −[R X]ₓ,   ∂p/∂δt = I.
+
+    Written in structure-of-arrays scalar form: the 4 corners, the 21
+    JᵀJ entries, the 6x6 Cholesky, and the 3x3 rotation update are all
+    unrolled into batched-scalar arithmetic with NO small trailing
+    tensor dims. Stacked (4,2,3)/(3,3) intermediates here get tiled to
+    (8,128) on TPU — a 42–57x HBM padding blowup at serving batch
+    sizes (observed OOM at 256 streams) — whereas scalars fuse into a
+    single elementwise VPU kernel inside the loop.
     """
+    dt = tt[0].dtype
 
     def body(_, carry):
-        r0, t0 = carry
-        rx = obj @ r0.T                      # (4, 3)
-        pts = rx + t0
-        z = jnp.maximum(pts[:, 2], 1e-6)
-        inv_z = 1.0 / z
-        proj = pts[:, :2] * inv_z[:, None]
-        res = (proj - img_xy).reshape(-1)    # (8,)
-        # dπ/dp rows per point: (4, 2, 3)
-        zero = jnp.zeros_like(inv_z)
-        dpi = jnp.stack([
-            jnp.stack([inv_z, zero, -proj[:, 0] * inv_z], -1),
-            jnp.stack([zero, inv_z, -proj[:, 1] * inv_z], -1),
-        ], 1)
-        # dp/dδθ = -[rx]ₓ : (4, 3, 3)
-        rx_x, rx_y, rx_z = rx[:, 0], rx[:, 1], rx[:, 2]
-        z4 = jnp.zeros_like(rx_x)
-        skew = jnp.stack([
-            jnp.stack([z4, -rx_z, rx_y], -1),
-            jnp.stack([rx_z, z4, -rx_x], -1),
-            jnp.stack([-rx_y, rx_x, z4], -1),
-        ], 1)
-        j_rot = -jnp.einsum("pij,pjk->pik", dpi, skew)   # (4, 2, 3)
-        jac = jnp.concatenate([j_rot, dpi], -1).reshape(8, 6)
-        jtj = jac.T @ jac + damping * jnp.eye(6, dtype=r0.dtype)
-        delta = small.solve_spd(jtj, -(jac.T @ res))
-        r1 = quat.to_matrix(quat.from_rotvec(delta[:3])) @ r0
-        t1 = t0 + delta[3:]
-        return (r1, t1)
+        rr = [[carry[3 * i + j] for j in range(3)] for i in range(3)]
+        tt = [carry[9], carry[10], carry[11]]
+        jtj = [[jnp.asarray(damping, dt) if i == j else
+                jnp.asarray(0.0, dt) for j in range(i + 1)]
+               for i in range(6)]
+        jtr = [jnp.asarray(0.0, dt) for _ in range(6)]
+        for k in range(4):
+            a0, a1, a2 = _rx_entries(rr, ox, oy, k)
+            z = jnp.maximum(a2 + tt[2], 1e-6)
+            iz = 1.0 / z
+            x = (a0 + tt[0]) * iz
+            y = (a1 + tt[1]) * iz
+            ru = x - uo[k]
+            rv = y - vo[k]
+            # rows of J for this point: [−[RX]ₓ chained | dπ/dp]
+            ju = [-x * a1 * iz, (a2 + x * a0) * iz, -a1 * iz,
+                  iz, jnp.asarray(0.0, dt), -x * iz]
+            jv = [-(a2 + y * a1) * iz, y * a0 * iz, a0 * iz,
+                  jnp.asarray(0.0, dt), iz, -y * iz]
+            for i in range(6):
+                for j in range(i + 1):
+                    jtj[i][j] = jtj[i][j] + ju[i] * ju[j] \
+                        + jv[i] * jv[j]
+                jtr[i] = jtr[i] + ju[i] * ru + jv[i] * rv
+        delta = small.solve_spd_entries(jtj, [-g for g in jtr])
+        # rotation update R ← Exp(δθ) R, unrolled via the quaternion
+        w0, w1, w2 = delta[0], delta[1], delta[2]
+        th = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+        half = 0.5 * th
+        small_ang = th < 1e-8
+        f = jnp.where(small_ang, 0.5,
+                      jnp.sin(half) / jnp.where(small_ang, 1.0, th))
+        qw = jnp.cos(half)
+        qx, qy, qz = f * w0, f * w1, f * w2
+        dm = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+               2 * (qx * qz + qy * qw)],
+              [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+               2 * (qy * qz - qx * qw)],
+              [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+               1 - 2 * (qx * qx + qy * qy)]]
+        out = []
+        for i in range(3):
+            for j in range(3):
+                out.append(dm[i][0] * rr[0][j] + dm[i][1] * rr[1][j]
+                           + dm[i][2] * rr[2][j])
+        out.extend([tt[0] + delta[3], tt[1] + delta[4],
+                    tt[2] + delta[5]])
+        return tuple(out)
 
-    return jax.lax.fori_loop(0, iters, body, (r, t))
+    carry0 = tuple(rr[0] + rr[1] + rr[2] + list(tt))
+    out = jax.lax.fori_loop(0, iters, body, carry0)
+    return ([[out[3 * i + j] for j in range(3)] for i in range(3)],
+            [out[9], out[10], out[11]])
 
 
 def solve_square_pnp_normalized(img_xy: jnp.ndarray, marker_size,
@@ -205,26 +288,36 @@ def solve_square_pnp_normalized(img_xy: jnp.ndarray, marker_size,
 
     img_xy: (4, 2). Use `solve_square_pnp` for pixel input. The `err`
     fields here are in normalized coordinates.
+
+    The whole solve — closed-form homography, IPPE rotations,
+    translation, dual-basin Gauss-Newton, disambiguation — runs in
+    structure-of-arrays scalar form (see _gn_refine_entries for why),
+    so vmapping over millions of markers stays one fused elementwise
+    program. Both ambiguity candidates are refined: near-degenerate
+    views can put the closed-form winner in the wrong basin, where
+    Gauss-Newton stalls at a poor local minimum.
     """
-    obj = square_object_points(marker_size).astype(img_xy.dtype)
-    h = homography_4pt(obj[:, :2], img_xy)
-    r1, r2 = _ippe_rotations(h)
-    t1 = _solve_translation(r1, obj, img_xy)
-    t2 = _solve_translation(r2, obj, img_xy)
-    # Refine BOTH ambiguity candidates, then pick by final error:
-    # near-degenerate views can put the closed-form winner in the wrong
-    # basin, where Gauss-Newton stalls at a poor local minimum. The two
-    # candidates refine as one stacked batch (halves sequential depth).
-    rs, ts = jax.vmap(
-        lambda rr, tt: _gn_refine(rr, tt, obj, img_xy, refine_iters)
-    )(jnp.stack([r1, r2]), jnp.stack([t1, t2]))
-    r1, t1 = rs[0], ts[0]
-    r2, t2 = rs[1], ts[1]
-    e1 = _reproj_rms_normalized(r1, t1, obj, img_xy)
-    e2 = _reproj_rms_normalized(r2, t2, obj, img_xy)
+    s = marker_size / 2.0
+    one = jnp.ones((), img_xy.dtype)
+    ox = [-s * one, s * one, s * one, -s * one]
+    oy = [s * one, s * one, -s * one, -s * one]
+    u = [img_xy[k, 0] for k in range(4)]
+    v = [img_xy[k, 1] for k in range(4)]
+
+    h = _h_square_entries(s * one, u, v)
+    r1e, r2e = _ippe_rotations_entries(h)
+    t1e = _solve_translation_entries(r1e, ox, oy, u, v)
+    t2e = _solve_translation_entries(r2e, ox, oy, u, v)
+    r1e, t1e = _gn_refine_entries(r1e, t1e, ox, oy, u, v, refine_iters)
+    r2e, t2e = _gn_refine_entries(r2e, t2e, ox, oy, u, v, refine_iters)
+    e1 = _reproj_rms_entries(r1e, t1e, ox, oy, u, v)
+    e2 = _reproj_rms_entries(r2e, t2e, ox, oy, u, v)
     best_first = e1 <= e2
-    r = jnp.where(best_first, r1, r2)
-    t = jnp.where(best_first, t1, t2)
+    r = jnp.stack([
+        jnp.stack([jnp.where(best_first, r1e[i][j], r2e[i][j])
+                   for j in range(3)], -1) for i in range(3)], -2)
+    t = jnp.stack([jnp.where(best_first, t1e[i], t2e[i])
+                   for i in range(3)], -1)
     err = jnp.where(best_first, e1, e2)
     q = quat.from_matrix(r)
     return PnPResult(t_cl=t, q_cl=q, rvec=quat.to_rotvec(q), err=err,

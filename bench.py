@@ -6,7 +6,7 @@ driver) in two shapes:
 
 * single-stream: one video, one `lax.scan` over 512 frames (latency-
   bound; the shape the reference's sequential CPU loop runs), and
-* batched serving: 64 independent sequences vmapped over the same
+* batched serving: 256 independent sequences vmapped over the same
   pipeline (throughput-bound; the shape a TPU chip actually serves).
 
 Prints ONE JSON line with the batched chip throughput as the headline
@@ -28,7 +28,7 @@ REFERENCE_FPS = 45.1  # measured; BASELINE_MEASURED.md
 FRAMES = 512
 CAPACITY = 64
 MARKERS = 8
-BATCH = 64
+BATCH = 256
 
 
 def main() -> None:
