@@ -600,11 +600,18 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     if use_pallas and cfg.joseph_form:
         cov = new_cov
     else:
-        i_kh = jnp.eye(n, dtype=dt) - gain @ h_mat
+        # rank-M expansion: (I−KH)P(I−KH)ᵀ + KRKᵀ
+        #   = P − K(HP) − (HP)ᵀKᵀ + K S Kᵀ   with S = HPHᵀ + R exact.
+        # Valid for ANY gain K (including the Newton–Schulz
+        # approximate one). Forming I−KH densely costs two N³ GEMMs
+        # per frame (N = 201 at capacity 64); this form costs three
+        # rank-M products (M = max_obs·md ≈ 48) — ~3.7x fewer FLOPs —
+        # and P is symmetrized every step as before.
+        a = gain @ ph_t.T                       # K (HP) : (N, N)
         if cfg.joseph_form:
-            cov = i_kh @ cov @ i_kh.T + (gain * r_diag[None, :]) @ gain.T
+            cov = cov - a - a.T + (gain @ s) @ gain.T
         else:
-            cov = i_kh @ cov  # the reference's form (extended_kalman_filter.py:156)
+            cov = cov - a  # the reference's (I−KH)P (extended_kalman_filter.py:156)
         cov = 0.5 * (cov + cov.T)
 
     if cfg.divergence_guard:

@@ -115,3 +115,45 @@ def test_frame_observation_pipeline():
         scene, traj, capacity=8, fov_limit=10.0, max_range=100.0)
     err = np.linalg.norm(np.asarray(res.t_cl) - obs.t_cl, axis=-1)
     assert err[mask].max() < 5e-3, err[mask].max()
+
+
+def test_solve_spd_entries_matches_numpy():
+    """Scalar-entry Cholesky (the SoA hot path) vs np.linalg.solve on
+    random SPD batches."""
+    from aruco_slam_tpu.ops import linalg as small
+
+    rng = np.random.default_rng(4)
+    for n in (3, 6):
+        m = rng.normal(size=(32, n, n))
+        a = m @ m.transpose(0, 2, 1) + 0.5 * np.eye(n)
+        b = rng.normal(size=(32, n))
+        entries = [[jnp.asarray(a[:, i, j]) for j in range(i + 1)]
+                   for i in range(n)]
+        x = small.solve_spd_entries(entries,
+                                    [jnp.asarray(b[:, i])
+                                     for i in range(n)])
+        x = np.stack([np.asarray(c) for c in x], -1)
+        ref = np.linalg.solve(a, b[..., None])[..., 0]
+        np.testing.assert_allclose(x, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_closed_form_square_homography_matches_dlt():
+    """_h_square_entries (Heckbert interpolation) vs the general DLT
+    homography on random square->quad correspondences."""
+    rng = np.random.default_rng(11)
+    s = 0.08
+    obj = np.asarray(pnp.square_object_points(2 * s))[:, :2]
+    for _ in range(20):
+        h_true = np.eye(3) + 0.3 * rng.normal(size=(3, 3))
+        h_true /= h_true[2, 2]
+        ph = np.concatenate([obj, np.ones((4, 1))], -1) @ h_true.T
+        quad = ph[:, :2] / ph[:, 2:]
+        u = [jnp.asarray(quad[k, 0]) for k in range(4)]
+        v = [jnp.asarray(quad[k, 1]) for k in range(4)]
+        hc = pnp._h_square_entries(jnp.asarray(s), u, v)
+        hc = np.array([[float(hc[i][j]) for j in range(3)]
+                       for i in range(3)])
+        hd = np.asarray(pnp.homography_4pt(jnp.asarray(obj),
+                                           jnp.asarray(quad)))
+        np.testing.assert_allclose(hc / hc[2, 2], hd / hd[2, 2],
+                                   rtol=2e-4, atol=2e-5)
