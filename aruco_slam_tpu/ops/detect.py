@@ -192,22 +192,32 @@ def _quad_corners(masks: jnp.ndarray) -> jnp.ndarray:
 
 
 def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
-                   half: int, iters: int) -> jnp.ndarray:
+                   schedule: tuple[tuple[int, int], ...]) -> jnp.ndarray:
     """Gradient structure-tensor subpixel refinement (cornerSubPix
     math), batched over corners (N, 2) on the full-res image.
 
+    `schedule` is a sequence of (half_window, iterations) stages run
+    coarse-to-fine — e.g. ((6, 6), (3, 4)) matches two cornerSubPix
+    calls with shrinking windows.
+
     Patch-based: each corner's neighborhood is gathered from the image
-    ONCE (a patch big enough for the window plus the maximum allowed
-    drift), and every iteration then runs as pure elementwise math on
-    the (N, P, P) patch stack — recentering via a window mask instead
-    of re-slicing. Per-iteration dynamic slices cost a serialized
-    gather per corner per round on TPU; this form does one gather per
-    refinement pass (~10x cheaper at detector candidate counts)."""
+    ONCE (a patch big enough for the largest window plus the maximum
+    cumulative drift across all stages), and every iteration then runs
+    as pure elementwise math on the (N, P, P) patch stack — recentering
+    via a window mask instead of re-slicing. Per-iteration dynamic
+    slices cost a serialized gather per corner per round on TPU; this
+    form does one gather for the whole coarse-to-fine refinement
+    (~10x cheaper at detector candidate counts)."""
     h, w = img.shape
-    win = 2 * half + 1
-    drift = half  # max total movement from the starting estimate
-    p = win + 2 * drift + 2  # window + drift margin + gradient border
-    rad = p // 2
+    # patch radius: every stage's window (plus 1px gradient border)
+    # must stay inside the patch after all preceding stages' drift
+    # (each stage may move the estimate by up to its own half-window)
+    cum = 0
+    rad = 0
+    for half, _ in schedule:
+        cum += half  # max drift this stage adds
+        rad = max(rad, cum + half + 1)
+    p = 2 * rad + 1
 
     # one gather: (N, P, P) patches centered at the rounded corners
     cx0 = jnp.clip(jnp.round(corners[:, 0]).astype(jnp.int32),
@@ -227,40 +237,44 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
           - (q - 1) / 2.0)[None]
     py = (jax.lax.broadcasted_iota(jnp.float32, (q, q), 0)
           - (q - 1) / 2.0)[None]
-    sigma2 = (half / 1.5) ** 2
+    proj = gx * px + gy * py
 
     # starting offset of the true corner estimate from the patch center
-    c0 = jnp.stack([corners[:, 0] - cx0, corners[:, 1] - cy0], -1)
-    c0 = jnp.clip(c0, -drift, drift)
+    c = jnp.stack([corners[:, 0] - cx0, corners[:, 1] - cy0], -1)
+    c = jnp.clip(c, -(rad - 1), rad - 1)
 
-    def body(_, c):
-        # gaussian window centered at the current integer estimate
-        # (matches the slice-based recentering of cv2.cornerSubPix)
-        wx = jnp.round(c[:, 0])[:, None, None]
-        wy = jnp.round(c[:, 1])[:, None, None]
-        inside = ((jnp.abs(px - wx) <= half)
-                  & (jnp.abs(py - wy) <= half)).astype(img.dtype)
-        wgt = inside * jnp.exp(
-            -0.5 * ((px - wx) ** 2 + (py - wy) ** 2) / sigma2)
-        wgx = wgt * gx
-        wgy = wgt * gy
-        wxx = (wgx * gx).sum((-1, -2))
-        wxy = (wgx * gy).sum((-1, -2))
-        wyy = (wgy * gy).sum((-1, -2))
-        proj = gx * px + gy * py
-        bx = (wgx * proj).sum((-1, -2))
-        by = (wgy * proj).sum((-1, -2))
-        det = wxx * wyy - wxy * wxy
-        ok = jnp.abs(det) > 1e-9
-        nx = jnp.where(ok, (wyy * bx - wxy * by) / det, c[:, 0])
-        ny = jnp.where(ok, (wxx * by - wxy * bx) / det, c[:, 1])
-        nx = jnp.clip(nx, c[:, 0] - half, c[:, 0] + half)
-        ny = jnp.clip(ny, c[:, 1] - half, c[:, 1] + half)
-        # the window must stay inside the patch
-        return jnp.stack([jnp.clip(nx, -drift, drift),
-                          jnp.clip(ny, -drift, drift)], -1)
+    drift = 0
+    for half, iters in schedule:
+        sigma2 = (half / 1.5) ** 2
+        drift = min(drift + half, rad - half - 1)
 
-    c = jax.lax.fori_loop(0, iters, body, c0)
+        def body(_, c, half=half, sigma2=sigma2, drift=drift):
+            # gaussian window centered at the current integer estimate
+            # (matches the slice-based recentering of cv2.cornerSubPix)
+            wx = jnp.round(c[:, 0])[:, None, None]
+            wy = jnp.round(c[:, 1])[:, None, None]
+            inside = ((jnp.abs(px - wx) <= half)
+                      & (jnp.abs(py - wy) <= half)).astype(img.dtype)
+            wgt = inside * jnp.exp(
+                -0.5 * ((px - wx) ** 2 + (py - wy) ** 2) / sigma2)
+            wgx = wgt * gx
+            wgy = wgt * gy
+            wxx = (wgx * gx).sum((-1, -2))
+            wxy = (wgx * gy).sum((-1, -2))
+            wyy = (wgy * gy).sum((-1, -2))
+            bx = (wgx * proj).sum((-1, -2))
+            by = (wgy * proj).sum((-1, -2))
+            det = wxx * wyy - wxy * wxy
+            ok = jnp.abs(det) > 1e-9
+            nx = jnp.where(ok, (wyy * bx - wxy * by) / det, c[:, 0])
+            ny = jnp.where(ok, (wxx * by - wxy * bx) / det, c[:, 1])
+            nx = jnp.clip(nx, c[:, 0] - half, c[:, 0] + half)
+            ny = jnp.clip(ny, c[:, 1] - half, c[:, 1] + half)
+            # the window must stay inside the patch
+            return jnp.stack([jnp.clip(nx, -drift, drift),
+                              jnp.clip(ny, -drift, drift)], -1)
+
+        c = jax.lax.fori_loop(0, iters, body, c)
     return c + jnp.stack([cx0, cy0], -1).astype(img.dtype)
 
 
@@ -360,9 +374,9 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
     # the low-res (±downscale px) estimate into the basin, then a tight
     # window sharpens without dragging in the marker's interior edges.
     flat_c = quads_full.reshape(-1, 2)
-    coarse = _subpix_refine(img, flat_c, cfg.subpix_win,
-                            cfg.subpix_iters)
-    refined = _subpix_refine(img, coarse, 3, 4).reshape(k, 4, 2)
+    refined = _subpix_refine(
+        img, flat_c,
+        ((cfg.subpix_win, cfg.subpix_iters), (3, 4))).reshape(k, 4, 2)
 
     # 6. decode: sample cell centers through the quad homography
     hmat = _homography_cells(refined, cells)       # (K, 3, 3)
@@ -440,5 +454,5 @@ def refine_corners(image: jnp.ndarray, corners: jnp.ndarray,
     ChArUco calibration path (ops/calibrate.py) the way the
     reference's CharucoDetector refines interpolated corners
     (reference calibration/charuco_calibration.py:59-61)."""
-    return _subpix_refine(image.astype(jnp.float32), corners, half,
-                          iters)
+    return _subpix_refine(image.astype(jnp.float32), corners,
+                          ((half, iters),))
