@@ -1,0 +1,137 @@
+"""Large-map throughput benchmark — BASELINE.json config 5 at scale.
+
+"Multi-sequence throughput run: batched parallel SLAM over many videos
++ 500-marker synthetic map": a 512-marker wall surveyed by a raster
+sweep, filtered by a 512-capacity MEKF (error-state dim 6 + 512*3 =
+1542, so the per-frame covariance update is a real MXU workload), and
+S independent sequences vmapped/sharded over the chip(s) at once.
+
+The reference cannot represent this run at all: its EKF grows a dense
+numpy state per landmark in Python (reference
+extended_kalman_filter.py:239-290) and processes one sequence,
+one frame, one marker at a time (reference main/run_slam.py:111-141).
+
+    python -m aruco_slam_tpu.bench.large_map            # real TPU
+    python -m aruco_slam_tpu.bench.large_map --platform cpu \
+        --markers 96 --frames 64 --batch 2              # dev box
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--markers", type=int, default=512)
+    p.add_argument("--frames", type=int, default=512)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-obs", type=int, default=48)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.bench import synthetic
+    from aruco_slam_tpu.bench.ate import ate_rmse
+    from aruco_slam_tpu.core import camera as cam_mod
+    from aruco_slam_tpu.filters import (
+        FrameObservations, MekfConfig, init_state, mekf_scan)
+    from aruco_slam_tpu.ops import pnp
+
+    k = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3],
+                  [0.0, 0.0, 1.0]])
+    d = np.array([0.0614, -0.2951, 0.0005, 0.0029, 0.4387])
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k, jnp.float32),
+                                          jnp.asarray(d, jnp.float32))
+
+    # wall wide enough that the raster sweep sees a bounded strip
+    # (~33 of 512 markers) per frame, with vertical overlap between
+    # passes (FOV height ~3.4 m at 4.5 m depth vs ~2.2 m row spacing)
+    # so successive rows share landmarks — like a real survey flight
+    extent = 11.0 * np.sqrt(args.markers / 512.0)
+    scene = synthetic.make_wall_scene(
+        num_markers=args.markers, seed=0, extent=float(extent),
+        depth=4.5)
+    traj = synthetic.make_raster_trajectory(
+        num_frames=args.frames, rows=4,
+        extent_x=float(extent - 2.0), extent_y=float(0.4 * extent))
+    corners, mask = synthetic.observe_corners(
+        scene, traj, cam, args.markers, noise_px=0.3, seed=1)
+    visible = mask.sum(1)
+
+    fcfg = MekfConfig(capacity=args.markers, max_obs=args.max_obs,
+                      pallas_update=False, s_solver="ns",
+                      pixel_sigma=0.3, gate_distance=1.5)
+    state0 = init_state(fcfg)
+    marker_size = scene.marker_size
+
+    def pipeline(state, corners_seq, mask_seq):
+        t = corners_seq.shape[0]
+        ch = min(16, t)
+        def solve_chunk(c):
+            res = pnp.solve_square_pnp(cam, c, marker_size)
+            return res.t_cl, res.q_cl, res.err
+        t_cl, q_cl, err = jax.lax.map(
+            solve_chunk,
+            corners_seq.reshape(t // ch, ch, *corners_seq.shape[1:]))
+        merge = lambda a: a.reshape(t, *a.shape[2:])
+        obs = FrameObservations(
+            t_cl=merge(t_cl), q_cl=merge(q_cl),
+            mask=mask_seq & (merge(err) < 3.0))
+        return mekf_scan(fcfg, state, obs)
+
+    single = jax.jit(pipeline)
+    batched = jax.jit(jax.vmap(pipeline, in_axes=(None, 0, 0)))
+
+    corners_d = jnp.asarray(corners, jnp.float32)
+    mask_d = jnp.asarray(mask)
+    rng = np.random.default_rng(7)
+    corners_b = jnp.asarray(
+        corners[None] + rng.normal(0, 0.3, (args.batch,) + corners.shape),
+        jnp.float32)
+    mask_b = jnp.broadcast_to(mask_d, (args.batch,) + mask.shape)
+
+    _, est = jax.block_until_ready(single(state0, corners_d, mask_d))
+    jax.block_until_ready(batched(state0, corners_b, mask_b)[1])
+    ate = ate_rmse(np.asarray(est[:, :3]), traj.cam_t)
+
+    t0 = time.perf_counter()
+    for r in range(args.reps):
+        jax.block_until_ready(
+            single(state0, corners_d + (r + 1) * 1e-6, mask_d)[1])
+    single_fps = args.frames / ((time.perf_counter() - t0) / args.reps)
+
+    t0 = time.perf_counter()
+    for r in range(args.reps):
+        jax.block_until_ready(
+            batched(state0, corners_b + (r + 1) * 1e-6, mask_b)[1])
+    dt = (time.perf_counter() - t0) / args.reps
+    fps = args.batch * args.frames / dt
+
+    print(json.dumps({
+        "metric": "large_map_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": f"frames/s ({args.markers}-marker map, "
+                f"batch {args.batch})",
+        "single_stream_fps": round(single_fps, 1),
+        "ate_m": round(float(ate), 4),
+        "mean_visible": round(float(visible.mean()), 1),
+        "state_dim": fcfg.err_dim,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,29 @@ def make_orbit_trajectory(num_frames: int = 300, fps: float = 30.0,
     return Trajectory(pos, q, t)
 
 
+def make_raster_trajectory(num_frames: int = 600, fps: float = 30.0,
+                           extent_x: float = 9.0, extent_y: float = 4.5,
+                           rows: int = 3, seed: int = 1) -> Trajectory:
+    """Serpentine sweep across a wide wall, looking toward +z.
+
+    Covers a large map (BASELINE.json config 5's 500-marker wall) the
+    way a survey flight would: `rows` back-and-forth passes while the
+    height advances continuously (smooth boustrophedon — no teleports
+    between rows), so every region of the wall enters the field of
+    view at some point while only a bounded strip is visible per
+    frame."""
+    t = np.arange(num_frames) / fps
+    u = np.linspace(0.0, rows, num_frames)  # pass-progress coordinate
+    x = -extent_x * np.cos(np.pi * u)
+    y = extent_y * (2.0 * u / max(rows, 1) - 1.0)
+    z = 0.05 * np.sin(2.0 * np.pi * u)  # gentle depth bob
+    pos = np.stack([x, y, z], axis=-1)
+    yaw = 0.08 * np.sin(np.pi * u)  # look slightly into the motion
+    q = _quat_from_rotvec(np.stack(
+        [np.zeros_like(yaw), yaw, np.zeros_like(yaw)], axis=-1))
+    return Trajectory(pos, q, t)
+
+
 def observe_poses(scene: Scene, traj: Trajectory, capacity: int,
                   noise_t: float = 0.0, noise_r: float = 0.0,
                   fov_limit: float = 0.45, max_range: float = 8.0,

@@ -109,3 +109,25 @@ def test_batched_matches_individual(mesh):
             obs.t_cl[s], obs.q_cl[s], obs.mask[s]))
         np.testing.assert_allclose(np.asarray(batched[s]),
                                    np.asarray(solo), atol=2e-5)
+
+
+def test_large_map_survey():
+    """BASELINE.json config 5 shape at dev scale: capacity > 64
+    landmarks surveyed by the smooth raster sweep, corner-level PnP
+    front end, compacted MEKF update. Exercises the >64-slot state
+    layout (err_dim 6 + 3C) end to end."""
+    import json
+
+    from aruco_slam_tpu.bench import large_map
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        large_map.main(["--markers", "96", "--frames", "64",
+                        "--batch", "2", "--reps", "1"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["state_dim"] == 6 + 96 * 3
+    assert out["mean_visible"] > 4
+    assert out["ate_m"] < 0.6, out
