@@ -74,7 +74,8 @@ def main(argv=None) -> None:
 
     fcfg = MekfConfig(capacity=args.markers, max_obs=args.max_obs,
                       pallas_update=False, s_solver="ns",
-                      pixel_sigma=0.3, gate_distance=1.5)
+                      pixel_sigma=0.3, gate_distance=1.5,
+                      motion_model="cv", vel_decay=0.99)
     state0 = init_state(fcfg)
     marker_size = scene.marker_size
 

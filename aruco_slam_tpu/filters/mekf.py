@@ -123,6 +123,17 @@ class MekfConfig(NamedTuple):
     q_vel: float = 2e-3          # velocity random-walk variance ("cv")
     q_pos_cv: float = 1e-4       # residual position noise under "cv"
     initial_vel_uncertainty: float = 0.01
+    # per-frame velocity decay under "cv" (1.0 = pure constant
+    # velocity). <1 bounds the dead-reckoning excursion when no
+    # observations are accepted for a stretch — see the predict step.
+    vel_decay: float = 1.0
+    # matmul precision for the update chain (see mekf_step): "highest"
+    # = true f32 (correct by default), "high" = bf16_3x (~1e-5 rel
+    # error), "mixed" = bf16 covariance products with the gain chain
+    # (ph_t/S/S⁻¹/K) pinned to f32 — the fast serving setting,
+    # "default" = single-pass bf16 everywhere (NOT safe: S goes
+    # indefinite and Cholesky NaNs on big maps).
+    matmul_precision: str = "highest"
     # failure detection (SURVEY.md §5 — the reference has none): if an
     # update produces non-finite state, drop it and carry the predicted
     # state forward instead of poisoning the filter permanently.
@@ -395,6 +406,23 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     join this frame's update), then covariance inflation, then the
     Kalman update over all observed markers.
     """
+    # TPU matmuls default to bfloat16 passes; at bf16 the assembled
+    # innovation covariance S = HPHᵀ+R comes out INDEFINITE (~1e-2
+    # negative eigenvalues on unit scale — measured on a 96-landmark
+    # map), which NaNs the Cholesky solver and silently caps the
+    # Newton–Schulz gain accuracy (measured 2.5x worse ATE on the
+    # 512-marker survey). The whole update chain is small dense
+    # linalg where accuracy is the point, so trace it at full f32
+    # precision by default (cfg.matmul_precision relaxes it; "mixed"
+    # = bf16 bulk with an f32-pinned gain chain, see the update).
+    ctx = ("default" if cfg.matmul_precision == "mixed"
+           else cfg.matmul_precision)
+    with jax.default_matmul_precision(ctx):
+        return _mekf_step_impl(cfg, state, obs)
+
+
+def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
+                    obs: FrameObservations) -> MekfState:
     c, le, md = cfg.capacity, cfg.lm_edims, cfg.meas_dims
     n = cfg.err_dim
     ce = cfg.cam_edims
@@ -417,11 +445,20 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
     # --- motion model predict ---
     prev_t = state.cam_t
     if cfg.motion_model == "cv":
-        # constant-velocity predict: t += v on the nominal, and the
-        # exact F P Fᵀ with F = I + (∂δt'/∂δv); row/col adds instead of
-        # a dense N×N matmul (F differs from I in 3 rows only)
-        state = state._replace(cam_t=state.cam_t + state.vel)
+        # constant-velocity predict: v' = ρv, t += v' on the nominal,
+        # and the exact F P Fᵀ with F = I + (∂δt'/∂δv) and δv' = ρδv;
+        # row/col updates instead of a dense N×N matmul (F differs
+        # from I in 6 rows only). ρ < 1 bounds dead reckoning: if the
+        # filter stops accepting observations (occlusion, gating), the
+        # integrated position converges to |v|/(1-ρ) instead of
+        # running away linearly forever.
         cov0 = state.cov
+        if cfg.vel_decay < 1.0:
+            rho = jnp.asarray(cfg.vel_decay, dt)
+            state = state._replace(vel=rho * state.vel)
+            cov0 = cov0.at[_DV, :].multiply(rho)
+            cov0 = cov0.at[:, _DV].multiply(rho)
+        state = state._replace(cam_t=state.cam_t + state.vel)
         cov0 = cov0.at[_DT, :].add(cov0[_DV, :])
         cov0 = cov0.at[:, _DT].add(cov0[:, _DV])
         state = state._replace(cov=cov0)
@@ -559,24 +596,51 @@ def mekf_step(cfg: MekfConfig, state: MekfState,
             cov, h_mat, r_diag, resid, ns_iters=cfg.ns_iters,
             interpret=not on_tpu)
     else:
-        ph_t = cov @ h_mat.T                  # (N, M)
-        s = h_mat @ ph_t + jnp.diag(r_diag)   # (M, M)
+        # Under "mixed" precision the step traces at bf16 matmuls but
+        # the GAIN chain (ph_t -> S -> S⁻¹ -> K) is pinned to true
+        # f32: S must stay numerically PSD (see mekf_step), while the
+        # bulky rank-M covariance products below tolerate bf16.
+        hp = (jax.lax.Precision.HIGHEST
+              if cfg.matmul_precision == "mixed" else None)
+        mm = functools.partial(jnp.matmul, precision=hp)
+        ph_t = mm(cov, h_mat.T)               # (N, M)
+        s = mm(h_mat, ph_t) + jnp.diag(r_diag)  # (M, M)
         if cfg.s_solver == "ns":
             # Newton–Schulz inverse: X_{k+1} = X_k (2I - S X_k). Pure
             # matmuls, so under vmap this becomes batched MXU GEMMs
             # (a Cholesky would serialize). Same convergence argument
             # as the pallas kernel (see filters/pallas_mekf.py).
+            # Robustness note: with x0 = S/ν², an eigendirection with
+            # |λ| ≪ ν has S·x0 eigenvalue λ²/ν² ≈ 0, which after a
+            # bounded iteration count is still ≈ 0 — near-null
+            # directions of an f32-indefinite S are implicitly
+            # TRUNCATED (gain ~0) instead of exploding the way an
+            # unpivoted Cholesky does. Large maps (many landmarks all
+            # correlated through the 6-dof camera make S rank-6-
+            # dominated) rely on this.
             m_dim = s.shape[0]
             eye_m = jnp.eye(m_dim, dtype=dt)
             norm1 = jnp.max(jnp.sum(jnp.abs(s), axis=0))
             x0 = s / (norm1 * norm1)
             s_inv = jax.lax.fori_loop(
                 0, cfg.ns_iters,
-                lambda _, x: x @ (2.0 * eye_m - s @ x), x0)
-            gain = ph_t @ s_inv               # K = P Hᵀ S⁻¹, (N, M)
+                lambda _, x: mm(x, 2.0 * eye_m - mm(s, x)), x0)
+            gain = mm(ph_t, s_inv)            # K = P Hᵀ S⁻¹, (N, M)
         else:
-            s_fact = cho_factor(s, lower=True)
-            gain = cho_solve(s_fact, ph_t.T).T
+            # Equilibrated + jittered Cholesky: S is HPHᵀ (rank ≤ the
+            # camera dof for blocks coupled only through the camera)
+            # plus a small R diagonal, so trailing f32 pivots are tiny
+            # differences of large numbers and routinely go negative
+            # on big maps (NaN factor). Scale to unit diagonal, then
+            # add a relative jitter that bounds the pivot roundoff;
+            # at 1e-5 relative the gain perturbation is ~1e-5 — far
+            # below measurement noise.
+            d_inv = jax.lax.rsqrt(jnp.maximum(jnp.diag(s), 1e-30))
+            s_eq = s * d_inv[:, None] * d_inv[None, :]
+            s_eq = s_eq + 1e-5 * jnp.eye(s.shape[0], dtype=dt)
+            s_fact = cho_factor(s_eq, lower=True)
+            gain = cho_solve(s_fact, (ph_t * d_inv[None, :]).T).T \
+                * d_inv[None, :]
         innovation = gain @ resid             # (N,)
 
     if cfg.divergence_guard:

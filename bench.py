@@ -91,7 +91,11 @@ def main() -> None:
     # grid, so the batched program uses the XLA Newton-Schulz solver,
     # which vmaps into batched MXU GEMMs.
     single = jax.jit(make_pipeline(fcfg))
-    fcfg_b = fcfg._replace(pallas_update=False, s_solver="ns")
+    # serving precision: bf16 covariance products with an f32-pinned
+    # gain chain ("mixed") — the covariance tolerates bf16 noise while
+    # S stays numerically PSD for the Newton-Schulz solver
+    fcfg_b = fcfg._replace(pallas_update=False, s_solver="ns",
+                           matmul_precision="mixed")
     batched = jax.jit(jax.vmap(make_pipeline(fcfg_b), in_axes=(None, 0, 0)))
 
     # B sequence variants: shared geometry, distinct pixel noise so the

@@ -399,3 +399,42 @@ def test_ambiguity_deweights_unreliable_rotations():
             np.asarray(cam_traj)[:, :3], traj.cam_t)
     assert errs[True] < errs[False], errs
     assert errs[True] < 0.05, errs
+
+
+def test_cv_vel_decay_bounds_dead_reckoning():
+    """With motion_model="cv", a stretch with zero accepted
+    observations must not run away: vel_decay < 1 caps the integrated
+    excursion at ~|v|/(1-rho), while pure constant velocity (decay 1)
+    keeps integrating forever."""
+    cfg0 = MekfConfig(capacity=4, motion_model="cv",
+                      r_uncertainty=1e-3)
+
+    def run(cfg):
+        state = init_state(cfg)
+        # one landmark straight ahead; 10 frames moving +x at 0.1/frame
+        # teach the filter a velocity
+        lm_w = np.array([0.0, 0.0, 3.0])
+        for f in range(30):
+            cam = np.array([0.1 * f, 0.0, 0.0])
+            t_cl = jnp.asarray((lm_w - cam)[None], jnp.float32)
+            obs = FrameObservations(
+                t_cl=jnp.broadcast_to(t_cl, (4, 3)),
+                q_cl=jnp.zeros((4, 4)).at[:, 0].set(1.0),
+                mask=jnp.asarray([True, False, False, False]))
+            state = mekf_step(cfg, state, obs)
+        # then 200 blind frames
+        blind = FrameObservations(
+            t_cl=jnp.zeros((4, 3)), q_cl=jnp.zeros((4, 4)).at[:, 0].set(1.0),
+            mask=jnp.zeros(4, bool))
+        x_teach = float(state.cam_t[0])
+        for _ in range(200):
+            state = mekf_step(cfg, state, blind)
+        return float(state.cam_t[0]) - x_teach, float(state.vel[0])
+
+    exc_decay, v_decay = run(cfg0._replace(vel_decay=0.9))
+    exc_const, v_const = run(cfg0)
+    # decayed blind excursion caps at ~v/(1-rho) = 10v; constant
+    # velocity integrates 200v — and its velocity never dies
+    assert exc_const > 5.0 * exc_decay, (exc_const, exc_decay)
+    assert abs(v_decay) < 1e-3, v_decay
+    assert abs(v_const) > 1e-3, v_const

@@ -125,9 +125,9 @@ def test_large_map_survey():
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        large_map.main(["--markers", "96", "--frames", "64",
+        large_map.main(["--markers", "96", "--frames", "160",
                         "--batch", "2", "--reps", "1"])
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert out["state_dim"] == 6 + 96 * 3
+    assert out["state_dim"] == 9 + 96 * 3  # cv model: [dt, dth, dv]
     assert out["mean_visible"] > 4
-    assert out["ate_m"] < 0.6, out
+    assert out["ate_m"] < 0.4, out
