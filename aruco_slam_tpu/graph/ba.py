@@ -433,7 +433,18 @@ def _optimize(cfg: GraphConfig, state: GraphState, iters: int,
     if the true cost decreases (classic LM accept/reject, the behavior
     of the reference's gtsam LevenbergMarquardtOptimizer,
     reference factor_graph.py:327-345).
+
+    Traced at full f32 matmul precision: TPU matmuls default to
+    single-pass bf16, and the normal equations / Schur complement are
+    exactly the kind of small accuracy-critical linalg that turns a
+    quadratically-converging GN step into a stalled one (same failure
+    measured in the MEKF, filters/mekf.py mekf_step).
     """
+    with jax.default_matmul_precision("highest"):
+        return _optimize_impl(cfg, state, iters, free_from)
+
+
+def _optimize_impl(cfg, state, iters, free_from):
 
     def step(carry, _):
         st, lam, cost = carry
@@ -480,6 +491,11 @@ def landmark_covariances(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
 
     Cov_ll = H_ll⁻¹ + H_ll⁻¹ Wᵀ S⁻¹ W H_ll⁻¹ (block diagonal part).
     """
+    with jax.default_matmul_precision("highest"):
+        return _landmark_covariances_impl(cfg, state)
+
+
+def _landmark_covariances_impl(cfg, state):
     free_from = jnp.asarray(1, jnp.int32)
     h_pp, w, h_ll, _, _, _ = _linearize(cfg, state, free_from)
     dt = cfg.dtype

@@ -78,6 +78,13 @@ def _sharded_meas_terms(cfg: GraphConfig, mesh: Mesh, axis: str):
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _sharded_optimize(cfg: GraphConfig, state: GraphState, mesh: Mesh,
                       axis: str, iters: int, free_from):
+    # full f32 matmul precision, same reasoning as graph.ba._optimize
+    with jax.default_matmul_precision("highest"):
+        return _sharded_optimize_impl(cfg, state, mesh, axis, iters,
+                                      free_from)
+
+
+def _sharded_optimize_impl(cfg, state, mesh, axis, iters, free_from):
     n = mesh.shape[axis]
     # local cfg seen inside shard_map: factor capacity per device
     local_cfg = cfg._replace(max_factors=cfg.max_factors // n)
