@@ -130,6 +130,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                       q_uncertainty_lm=cfg.mekf_q_lm,
                       motion_model=cfg.mekf_motion_model,
                       q_vel=cfg.mekf_q_vel,
+                      vel_decay=cfg.mekf_vel_decay,
+                      matmul_precision=cfg.mekf_precision,
                       pixel_sigma=cfg.pixel_sigma,
                       focal_px=float(cam.fx),
                       marker_size=cfg.marker_size,
@@ -244,6 +246,14 @@ def main(argv=None) -> None:
                         "covariance in both backends; 0 = constant R "
                         "(reference behavior)")
     p.add_argument("--mekf-q-vel", type=float, default=dflt.mekf_q_vel)
+    p.add_argument("--vel-decay", type=float,
+                   default=dflt.mekf_vel_decay,
+                   help="per-frame velocity decay under the cv model; "
+                        "<1 bounds blind dead reckoning")
+    p.add_argument("--precision", default=dflt.mekf_precision,
+                   choices=["highest", "high", "mixed", "default"],
+                   help="TPU matmul precision of the filter update "
+                        "chain (mixed = bf16 bulk, f32 gain chain)")
     p.add_argument("--gate-distance", type=float,
                    default=dflt.gate_distance,
                    help="MEKF innovation gate (m); 0 = off")
@@ -266,6 +276,8 @@ def main(argv=None) -> None:
         mekf_motion_model=args.mekf_motion_model,
         pixel_sigma=args.pixel_sigma,
         mekf_q_vel=args.mekf_q_vel,
+        mekf_vel_decay=args.vel_decay,
+        mekf_precision=args.precision,
         gate_distance=args.gate_distance,
         huber_delta=args.huber_delta)
     from pathlib import Path

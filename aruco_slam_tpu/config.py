@@ -74,6 +74,12 @@ class SlamAppConfig:
     # for reference-parity behavior.
     mekf_motion_model: str = "cv"
     mekf_q_vel: float = 2e-3
+    # <1 bounds the blind dead-reckoning excursion (filters/mekf.py
+    # vel_decay); 0.99 costs nothing on tracked runs
+    mekf_vel_decay: float = 0.99
+    # matmul precision of the update chain on TPU (filters/mekf.py
+    # matmul_precision): "highest" (f32, default) | "mixed" | "high"
+    mekf_precision: str = "highest"
     # corner noise (px) driving the depth-scaled measurement whitening
     # in BOTH backends (filters/mekf.py pixel_sigma, graph/ba.py
     # per-factor sigmas); 0 = constant-R reference behavior
