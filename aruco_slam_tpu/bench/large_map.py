@@ -122,6 +122,31 @@ def main(argv=None) -> None:
     dt = (time.perf_counter() - t0) / args.reps
     fps = args.batch * args.frames / dt
 
+    # offline smoothing at the same scale (north-star config 3): full
+    # batch LM with Schur-eliminated landmarks over every pose/factor
+    from aruco_slam_tpu.graph import (
+        GraphConfig, add_frame, batch_optimize, init_graph)
+    res = jax.vmap(
+        lambda c: pnp.solve_square_pnp(cam, c, marker_size))(corners_d)
+    t_cl_h = np.asarray(res.t_cl)
+    mask_h = np.asarray(mask) & (np.asarray(res.err) < 3.0)
+    nfac = int(mask_h.sum()) + args.frames
+    gcfg = GraphConfig(max_poses=args.frames + 2,
+                       max_landmarks=args.markers,
+                       max_factors=nfac + 64,
+                       pixel_sigma=0.3, huber_delta=2.0)
+    gstate = init_graph(gcfg)
+    for i in range(args.frames):
+        gstate = add_frame(gcfg, gstate, jnp.asarray(t_cl_h[i]),
+                           jnp.asarray(mask_h[i]))
+    gout, _ = batch_optimize(gcfg, gstate, iters=40)  # compile
+    jax.block_until_ready(gout.pose_t)
+    t0 = time.perf_counter()
+    gout, _ = batch_optimize(gcfg, gstate, iters=40)
+    jax.block_until_ready(gout.pose_t)
+    ba_s = time.perf_counter() - t0
+    ba_ate = ate_rmse(np.asarray(gout.pose_t)[:args.frames], traj.cam_t)
+
     print(json.dumps({
         "metric": "large_map_fps_per_chip",
         "value": round(fps, 1),
@@ -129,6 +154,9 @@ def main(argv=None) -> None:
                 f"batch {args.batch})",
         "single_stream_fps": round(single_fps, 1),
         "ate_m": round(float(ate), 4),
+        "offline_ba_ate_m": round(float(ba_ate), 4),
+        "offline_ba_s": round(ba_s, 2),
+        "n_factors": nfac,
         "mean_visible": round(float(visible.mean()), 1),
         "state_dim": fcfg.err_dim,
     }))
