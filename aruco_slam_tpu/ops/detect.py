@@ -54,7 +54,7 @@ class DetectorConfig(NamedTuple):
     prop_iters: int = 32          # total 3x3 min-flood rounds, split
                                   # across the scan rounds (see
                                   # _connected_components)
-    scan_rounds: int = 3          # segmented row/col min-scan
+    scan_rounds: int = 4          # segmented row/col min-scan
                                   # alternations; each propagates
                                   # labels across whole dark runs, so
                                   # full-frame markers label without
@@ -136,19 +136,27 @@ def _connected_components(fg: jnp.ndarray, iters: int,
         m = jnp.minimum(v, jnp.minimum(q[:, :-2], q[:, 2:]))
         return jnp.where(fg, m, big)
 
-    reset = ~fg
-
-    def seg_op(a, b):
-        # segmented min: a reset (background) cell blocks propagation
-        mv = jnp.where(b[1], b[0], jnp.minimum(a[0], b[0]))
-        return mv, a[1] | b[1]
+    reset = (~fg).astype(jnp.int32)
+    # Segmented min via a single monotonic int32 key per direction:
+    # high bits carry the run id (cumsum of background resets along
+    # the axis — restarts per line, so < 2^9 < 480), low 18 bits carry
+    # the bit-inverted label (labels < 2^18 at any realistic labeling
+    # resolution). A plain cummax then never leaks across runs (an
+    # earlier run's key is strictly smaller in the high bits) and
+    # picks the min label within the run in the low bits. Native
+    # cumsum/cummax kernels beat a tuple-carry associative_scan ~2x.
+    maxl = (1 << 18) - 1
+    assert big <= maxl, "labeling resolution exceeds key capacity"
 
     def seg_scan(labels, axis):
-        fwd, _ = jax.lax.associative_scan(
-            seg_op, (labels, reset), axis=axis)
-        bwd, _ = jax.lax.associative_scan(
-            seg_op, (labels, reset), axis=axis, reverse=True)
-        return jnp.where(fg, jnp.minimum(fwd, bwd), big)
+        inv = jnp.where(fg, maxl - labels, 0)
+        run_f = jax.lax.cumsum(reset, axis=axis)
+        fwd = jax.lax.cummax((run_f << 18) | inv, axis=axis)
+        run_b = jax.lax.cumsum(reset, axis=axis, reverse=True)
+        bwd = jax.lax.cummax((run_b << 18) | inv, axis=axis,
+                             reverse=True)
+        best = jnp.maximum(fwd & maxl, bwd & maxl)
+        return jnp.where(fg, maxl - best, big)
 
     per = max(1, iters // (scan_rounds + 1)) if scan_rounds else iters
     if pallas_mode != "off":

@@ -174,3 +174,40 @@ def test_pallas_detect_matches_default(rendered):
     assert np.array_equal(np.asarray(base.mask), np.asarray(pal.mask))
     assert np.allclose(np.asarray(base.corners),
                        np.asarray(pal.corners), atol=1e-4)
+
+
+def test_flood_converges_on_marker_shapes():
+    """The stencil+segmented-scan flood must fully label rotated
+    marker-shaped blobs (border ring + payload holes) at every size up
+    to full frame — the shapes the detector exists for. Oracle:
+    scipy.ndimage.label with 8-connectivity."""
+    from scipy import ndimage
+
+    h, w = 270, 480
+    for ang in (0, 15, 30, 45, 60):
+        for size in (8, 64, 131, 260):
+            fg = np.zeros((h, w), np.uint8)
+            rect = cv2.boxPoints(
+                ((w // 2, h // 2), (size, size), ang)).astype(np.int32)
+            cv2.fillPoly(fg, [rect], 1)
+            inner = cv2.boxPoints(
+                ((w // 2, h // 2), (size * 5 / 7, size * 5 / 7), ang))
+            for i in range(5):
+                for j in range(5):
+                    if (i + j) % 2:
+                        continue
+                    u, v = (i + 0.5) / 5, (j + 0.5) / 5
+                    p = ((1 - u) * ((1 - v) * inner[0] + v * inner[1])
+                         + u * ((1 - v) * inner[3] + v * inner[2]))
+                    cv2.circle(fg, tuple(np.round(p).astype(int)),
+                               max(1, int(size / 14)), 0, -1)
+            fgb = fg.astype(bool)
+            lab = np.asarray(detect._connected_components(
+                jnp.asarray(fgb), CFG.prop_iters,
+                scan_rounds=CFG.scan_rounds, pallas_mode="off"))
+            oracle, n = ndimage.label(fgb, structure=np.ones((3, 3)))
+            for comp in range(1, n + 1):
+                got = set(lab[oracle == comp].tolist())
+                assert len(got) == 1, (
+                    f"ang {ang} size {size}: component {comp} "
+                    f"split into {len(got)} labels")
