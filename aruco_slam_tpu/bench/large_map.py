@@ -2,9 +2,10 @@
 
 "Multi-sequence throughput run: batched parallel SLAM over many videos
 + 500-marker synthetic map": a 512-marker wall surveyed by a raster
-sweep, filtered by a 512-capacity MEKF (error-state dim 6 + 512*3 =
-1542, so the per-frame covariance update is a real MXU workload), and
-S independent sequences vmapped/sharded over the chip(s) at once.
+sweep, filtered by a 512-capacity constant-velocity MEKF (error-state
+dim 9 + 512*3 = 1545, so the per-frame covariance update is a real
+MXU workload), and S independent sequences vmapped/sharded over the
+chip(s) at once.
 
 The reference cannot represent this run at all: its EKF grows a dense
 numpy state per landmark in Python (reference
@@ -47,8 +48,7 @@ def main(argv=None) -> None:
     from aruco_slam_tpu.bench import synthetic
     from aruco_slam_tpu.bench.ate import ate_rmse
     from aruco_slam_tpu.core import camera as cam_mod
-    from aruco_slam_tpu.filters import (
-        FrameObservations, MekfConfig, init_state, mekf_scan)
+    from aruco_slam_tpu.filters import MekfConfig, init_state
     from aruco_slam_tpu.ops import pnp
 
     k = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3],
@@ -79,20 +79,8 @@ def main(argv=None) -> None:
     state0 = init_state(fcfg)
     marker_size = scene.marker_size
 
-    def pipeline(state, corners_seq, mask_seq):
-        t = corners_seq.shape[0]
-        ch = min(16, t)
-        def solve_chunk(c):
-            res = pnp.solve_square_pnp(cam, c, marker_size)
-            return res.t_cl, res.q_cl, res.err
-        t_cl, q_cl, err = jax.lax.map(
-            solve_chunk,
-            corners_seq.reshape(t // ch, ch, *corners_seq.shape[1:]))
-        merge = lambda a: a.reshape(t, *a.shape[2:])
-        obs = FrameObservations(
-            t_cl=merge(t_cl), q_cl=merge(q_cl),
-            mask=mask_seq & (merge(err) < 3.0))
-        return mekf_scan(fcfg, state, obs)
+    from aruco_slam_tpu.bench.pipeline import make_pipeline
+    pipeline = make_pipeline(cam, marker_size, fcfg, chunk=16)
 
     single = jax.jit(pipeline)
     batched = jax.jit(jax.vmap(pipeline, in_axes=(None, 0, 0)))

@@ -1,0 +1,47 @@
+"""Shared corners -> PnP -> fused-MEKF pipeline for the benches.
+
+One definition of the hot path both `bench.py` (repo root) and
+`bench/large_map.py` measure, so gating/chunking fixes cannot diverge
+between them.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from aruco_slam_tpu.filters import FrameObservations, mekf_scan
+from aruco_slam_tpu.ops import pnp
+
+
+def make_pipeline(cam, marker_size: float, fcfg, chunk: int = 16,
+                  reproj_gate: float = 3.0):
+    """Returns pipeline(state, corners_seq (T,C,4,2), mask_seq (T,C))
+    -> (final_state, trajectory (T,7)).
+
+    The PnP solves are frame-independent so they run outside the
+    sequential scan and fill the chip; `lax.map` chunks them over time
+    so the solver intermediates stay bounded (vmapping a whole long
+    sequence wants tens of GB at serving batch sizes). The chunk size
+    is clipped to the largest divisor of T so any frame count works.
+    """
+
+    def pipeline(state, corners_seq, mask_seq):
+        t = corners_seq.shape[0]
+        ch = min(chunk, t)
+        while t % ch:
+            ch -= 1
+
+        def solve_chunk(c):
+            res = pnp.solve_square_pnp(cam, c, marker_size)
+            return res.t_cl, res.q_cl, res.err
+
+        t_cl, q_cl, err = jax.lax.map(
+            solve_chunk,
+            corners_seq.reshape(t // ch, ch, *corners_seq.shape[1:]))
+        merge = lambda a: a.reshape(t, *a.shape[2:])
+        obs = FrameObservations(
+            t_cl=merge(t_cl), q_cl=merge(q_cl),
+            mask=mask_seq & (merge(err) < reproj_gate))
+        return mekf_scan(fcfg, state, obs)
+
+    return pipeline

@@ -136,7 +136,7 @@ def make_orbit_trajectory(num_frames: int = 300, fps: float = 30.0,
 
 def make_raster_trajectory(num_frames: int = 600, fps: float = 30.0,
                            extent_x: float = 9.0, extent_y: float = 4.5,
-                           rows: int = 3, seed: int = 1) -> Trajectory:
+                           rows: int = 3) -> Trajectory:
     """Serpentine sweep across a wide wall, looking toward +z.
 
     Covers a large map (BASELINE.json config 5's 500-marker wall) the

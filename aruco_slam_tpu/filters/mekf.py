@@ -641,7 +641,8 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
             s_fact = cho_factor(s_eq, lower=True)
             gain = cho_solve(s_fact, (ph_t * d_inv[None, :]).T).T \
                 * d_inv[None, :]
-        innovation = gain @ resid             # (N,)
+        innovation = mm(gain, resid)          # (N,) — gain chain stays
+                                              # f32 under "mixed"
 
     if cfg.divergence_guard:
         # a non-finite innovation (e.g. NaN observations that slipped

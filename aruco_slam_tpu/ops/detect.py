@@ -6,14 +6,15 @@ irregular CPU code — contour tracing, polygon approximation, per-
 candidate hash lookups. XLA needs static shapes and dense data flow,
 so every stage here is reformulated dense (SURVEY.md §7 "hard parts"):
 
- 1. adaptive threshold — local box mean via an integral image
-    (cumsative sums), binary = pixel < mean − C, matching the
-    reference's adaptiveThreshWinSize range semantics.
- 2. connected components — at a downscaled resolution, iterated
-    3×3 min-label propagation + pointer jumping (label = label[label],
-    path halving), a fixed iteration count instead of contour tracing.
- 3. candidate selection — per-component pixel counts by scatter-add,
-    area-gated top-K.
+ 1. adaptive threshold — fused with the downscale as reduce_window
+    min/avg pools against a local box mean, binary = pixel < mean − C,
+    matching the reference's adaptiveThreshWinSize range semantics.
+ 2. connected components — at a downscaled resolution, alternating
+    3×3 min-label stencils with segmented row/column min-scans
+    (gather-free; see _connected_components) instead of contour
+    tracing.
+ 3. candidate selection — per-component areas from a sort + run-length
+    scan histogram (no scatter), area-gated top-K.
  4. quad corners — per-candidate masked argmax geometry: farthest
     point from centroid, farthest from it (the diagonal), then extreme
     points on both sides of the diagonal; ordered clockwise.
@@ -139,21 +140,35 @@ def _connected_components(fg: jnp.ndarray, iters: int,
     reset = (~fg).astype(jnp.int32)
     # Segmented min via a single monotonic int32 key per direction:
     # high bits carry the run id (cumsum of background resets along
-    # the axis — restarts per line, so < 2^9 < 480), low 18 bits carry
-    # the bit-inverted label (labels < 2^18 at any realistic labeling
-    # resolution). A plain cummax then never leaks across runs (an
-    # earlier run's key is strictly smaller in the high bits) and
-    # picks the min label within the run in the low bits. Native
-    # cumsum/cummax kernels beat a tuple-carry associative_scan ~2x.
-    maxl = (1 << 18) - 1
-    assert big <= maxl, "labeling resolution exceeds key capacity"
+    # the axis — restarts per line, so bounded by the line length),
+    # low bits carry the bit-inverted label. A plain cummax then never
+    # leaks across runs (an earlier run's key is strictly smaller in
+    # the high bits) and picks the min label within the run in the low
+    # bits. Native cumsum/cummax kernels beat a tuple-carry
+    # associative_scan ~2x. Bit budget is sized per axis; if label
+    # bits + run bits ever exceed int32 (≈8K-wide frames at the
+    # default downscale) we fall back to the tuple-carry scan.
+    label_bits = max(1, int(big).bit_length())
+    maxl = (1 << label_bits) - 1
+
+    def seg_op(a, b):
+        mv = jnp.where(b[1], b[0], jnp.minimum(a[0], b[0]))
+        return mv, a[1] | b[1]
 
     def seg_scan(labels, axis):
+        run_bits = int(fg.shape[axis]).bit_length()
+        if label_bits + run_bits > 31:
+            rs = reset.astype(bool)
+            fwd, _ = jax.lax.associative_scan(
+                seg_op, (labels, rs), axis=axis)
+            bwd, _ = jax.lax.associative_scan(
+                seg_op, (labels, rs), axis=axis, reverse=True)
+            return jnp.where(fg, jnp.minimum(fwd, bwd), big)
         inv = jnp.where(fg, maxl - labels, 0)
         run_f = jax.lax.cumsum(reset, axis=axis)
-        fwd = jax.lax.cummax((run_f << 18) | inv, axis=axis)
+        fwd = jax.lax.cummax((run_f << label_bits) | inv, axis=axis)
         run_b = jax.lax.cumsum(reset, axis=axis, reverse=True)
-        bwd = jax.lax.cummax((run_b << 18) | inv, axis=axis,
+        bwd = jax.lax.cummax((run_b << label_bits) | inv, axis=axis,
                              reverse=True)
         best = jnp.maximum(fwd & maxl, bwd & maxl)
         return jnp.where(fg, maxl - best, big)

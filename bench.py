@@ -42,9 +42,7 @@ def main() -> None:
 
     from aruco_slam_tpu.bench import synthetic
     from aruco_slam_tpu.core import camera as cam_mod
-    from aruco_slam_tpu.filters import (
-        FrameObservations, MekfConfig, init_state)
-    from aruco_slam_tpu.ops import pnp
+    from aruco_slam_tpu.filters import MekfConfig, init_state
 
     k = np.array([[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3],
                   [0.0, 0.0, 1.0]])
@@ -62,29 +60,13 @@ def main() -> None:
     mask_d = jnp.asarray(mask)
     marker_size = scene.marker_size
 
-    from aruco_slam_tpu.filters import mekf_scan
+    from aruco_slam_tpu.bench.pipeline import make_pipeline as _mk
 
     def make_pipeline(cfg_):
-        def pipeline(state, corners_seq, mask_seq):
-            """corners -> batched PnP -> fused MEKF scan. The PnP
-            solves are frame-independent so they run outside the
-            sequential scan and fill the chip; lax.map chunks them
-            over time so the solver intermediates stay bounded
-            (vmapping the whole sequence at batch 64 wants ~45 GB)."""
-            t = corners_seq.shape[0]
-            ch = 64
-            def solve_chunk(c):
-                res = pnp.solve_square_pnp(cam, c, marker_size)
-                return res.t_cl, res.q_cl, res.err
-            t_cl, q_cl, err = jax.lax.map(
-                solve_chunk, corners_seq.reshape(
-                    t // ch, ch, *corners_seq.shape[1:]))
-            merge = lambda a: a.reshape(t, *a.shape[2:])
-            obs = FrameObservations(
-                t_cl=merge(t_cl), q_cl=merge(q_cl),
-                mask=mask_seq & (merge(err) < 3.0))
-            return mekf_scan(cfg_, state, obs)
-        return pipeline
+        # corners -> batched PnP -> fused MEKF scan; chunked PnP keeps
+        # solver intermediates bounded (vmapping the whole sequence at
+        # batch 64 wants ~45 GB)
+        return _mk(cam, marker_size, cfg_, chunk=64)
 
     # single-stream: the fused pallas kernel minimizes per-frame
     # latency. batched: a vmapped pallas_call serializes its batch
