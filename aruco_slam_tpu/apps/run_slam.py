@@ -40,26 +40,47 @@ from aruco_slam_tpu.ops import pnp
 VIDEO_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv"}
 
 
-def _observations_from_images(images, times, cam, cfg: SlamAppConfig,
+def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
                               chunk: int = 32):
-    """Image-domain front end: batched detection + PnP, chunked so a
-    long video doesn't materialize (T, H, W) on device at once."""
+    """Image-domain front end over a (timestamp, gray) iterator:
+    batched detection + PnP in fixed-size chunks.
+
+    Pipelined by construction: each chunk's detect+PnP is DISPATCHED
+    (JAX async) and the loop immediately goes back to decoding the
+    next chunk on the host — host video decode and device detection
+    overlap; nothing blocks until the final gather. The tail chunk is
+    zero-padded to the chunk size so the whole video runs one compiled
+    program (a new batch shape would recompile the detector)."""
     from aruco_slam_tpu.ops import detect
     dcfg = detect.DetectorConfig(capacity=cfg.capacity)
-    outs = []
-    for s in range(0, len(images), chunk):
-        det = detect.detect_markers_batch(
-            jnp.asarray(images[s:s + chunk]), dcfg)
+    times, buf, outs = [], [], []
+
+    def flush():
+        n = len(buf)
+        if not n:
+            return
+        if n < chunk:
+            buf.extend([np.zeros_like(buf[0])] * (chunk - n))
+        det = detect.detect_markers_batch(jnp.asarray(np.stack(buf)),
+                                          dcfg)
         res = pnp.solve_square_pnp(cam, det.corners, cfg.marker_size)
         mask = det.mask & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
-        outs.append((np.asarray(res.t_cl), np.asarray(res.q_cl),
-                     np.asarray(mask), np.asarray(amb)))
-    t_cl = np.concatenate([o[0] for o in outs])
-    q_cl = np.concatenate([o[1] for o in outs])
-    mask = np.concatenate([o[2] for o in outs])
-    amb = np.concatenate([o[3] for o in outs])
-    return times, t_cl, q_cl, mask, cam, amb
+        # device arrays, not np: keep the dispatch asynchronous
+        outs.append((res.t_cl, res.q_cl, mask, amb, n))
+        buf.clear()
+
+    for ts, gray in frame_iter:
+        times.append(ts)
+        buf.append(gray)
+        if len(buf) == chunk:
+            flush()
+    flush()
+    if not times:
+        raise ValueError("no decodable frames")
+    cat = lambda i: np.concatenate(
+        [np.asarray(o[i])[:o[4]] for o in outs])
+    return (np.asarray(times), cat(0), cat(1), cat(2), cam, cat(3))
 
 
 def load_camera(cfg: SlamAppConfig, calib_dir=None):
@@ -82,14 +103,10 @@ def load_video_observations(cfg: SlamAppConfig, calib_dir=None):
     main/run_slam.py:96-121)."""
     cam = load_camera(cfg, calib_dir)
     vs = VideoSource(cfg.input)
-    times, imgs = [], []
-    for ts, gray in vs.frames():
-        times.append(ts)
-        imgs.append(gray)
-    if not imgs:
-        raise ValueError(f"{cfg.input}: no decodable frames")
-    return _observations_from_images(
-        np.stack(imgs), np.asarray(times), cam, cfg)
+    try:
+        return _observations_from_frames(vs.frames(), cam, cfg)
+    except ValueError as e:
+        raise ValueError(f"{cfg.input}: {e}") from e
 
 
 def load_observations(src: NpzSource, cfg: SlamAppConfig):
@@ -102,8 +119,9 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
         else cfg.marker_size
     cfg.marker_size = marker_size  # downstream consumers (R scaling)
     if src.has("images"):
-        return _observations_from_images(
-            src["images"], src.times, cam, cfg)
+        imgs = src["images"]
+        return _observations_from_frames(
+            zip(src.times, imgs), cam, cfg)
     if src.has("corners"):
         res = pnp.solve_square_pnp(
             cam, jnp.asarray(src["corners"]), marker_size)
