@@ -32,7 +32,7 @@ from aruco_slam_tpu.filters import (
 from aruco_slam_tpu.filters import mekf as mekf_mod
 from aruco_slam_tpu.graph import (
     GraphConfig, add_frame, init_graph, landmark_covariances,
-    optimize_window)
+    marginalize_poses, optimize_window)
 from aruco_slam_tpu.io import TrajectoryWriter, save_map
 from aruco_slam_tpu.io.sources import NpzSource, VideoSource
 from aruco_slam_tpu.ops import pnp
@@ -188,8 +188,15 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
 def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                     viewers=()):
     t = len(times)
-    gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
-                       max_factors=int(mask.sum()) + 8,
+    budget = cfg.pose_budget
+    if budget and budget < t + 2:
+        max_poses = max(budget, 2 * cfg.window + 4)
+        max_factors = int(mask.sum(1).max()) * max_poses + 8
+    else:
+        max_poses, max_factors = t + 2, int(mask.sum()) + 8
+    gcfg = GraphConfig(max_poses=max_poses,
+                       max_landmarks=t_cl.shape[1],
+                       max_factors=max_factors,
                        meas_sigma_t=cfg.meas_sigma_t,
                        odom_sigma_t=cfg.odom_sigma_t,
                        odom_sigma_rot=cfg.odom_sigma_rot,
@@ -204,8 +211,11 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                           jnp.asarray(mask[i]))
         state, _ = optimize_window(gcfg, state, window=cfg.window,
                                    iters=cfg.window_iters)
-        cam_traj[i, :3] = np.asarray(state.pose_t[i])
-        cam_traj[i, 3:7] = np.asarray(state.pose_q[i])
+        cur = int(state.num_poses) - 2  # shifts under marginalization
+        cam_traj[i, :3] = np.asarray(state.pose_t[cur])
+        cam_traj[i, 3:7] = np.asarray(state.pose_q[cur])
+        if budget and int(state.num_poses) >= max_poses - 1:
+            state = marginalize_poses(gcfg, state, max_poses // 2)
         if viewers:
             _feed_viewers(viewers, cam_traj[i], state.lm,
                           state.lm_active, t_cl[i], q_cl[i], mask[i])
@@ -239,6 +249,10 @@ def main(argv=None) -> None:
     p.add_argument("--viz-dir", default="outputs/images")
     p.add_argument("--window", type=int, default=8)
     dflt = SlamAppConfig(input="")
+    p.add_argument("--pose-budget", type=int, default=dflt.pose_budget,
+                   help="bounded-memory online smoothing: marginalize "
+                        "the oldest poses past this budget (0 = keep "
+                        "every pose)")
     p.add_argument("--meas-sigma-t", type=float, default=dflt.meas_sigma_t)
     p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
     p.add_argument("--odom-sigma-rot", type=float,
@@ -286,7 +300,8 @@ def main(argv=None) -> None:
         input=args.input, filter=args.filter,
         trajectory_file=args.trajectory, map_file=args.map_file,
         viz_2d=args.viz_2d, viz_3d=args.viz_3d, viz_dir=args.viz_dir,
-        window=args.window, meas_sigma_t=args.meas_sigma_t,
+        window=args.window, pose_budget=args.pose_budget,
+        meas_sigma_t=args.meas_sigma_t,
         odom_sigma_t=args.odom_sigma_t,
         odom_sigma_rot=args.odom_sigma_rot,
         mekf_r=args.mekf_r, mekf_q_cam=args.mekf_q_cam,

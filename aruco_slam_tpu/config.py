@@ -44,6 +44,14 @@ class SlamAppConfig:
     # graph online mode
     window: int = 8
     window_iters: int = 3
+    # bounded-memory online smoothing: live-pose budget. When the
+    # graph reaches this many poses, the oldest half are Schur-
+    # marginalized into per-landmark priors (graph/ba.py
+    # marginalize_poses) — the reference's graph.resize(100) role
+    # (reference filters/factor_graph.py:224), done with the
+    # information kept instead of discarded. 0 = unbounded (the graph
+    # must then hold every pose of the run).
+    pose_budget: int = 128
     batch_iters: int = 50
     # factor-graph noise model. The reference's constants
     # (reference filters/factor_graph.py:20-25: odom sigma 0.1 m /

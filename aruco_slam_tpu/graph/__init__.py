@@ -19,6 +19,7 @@ from aruco_slam_tpu.graph.ba import (
     batch_optimize,
     init_graph,
     landmark_covariances,
+    marginalize_poses,
     optimize_window,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "batch_optimize",
     "init_graph",
     "landmark_covariances",
+    "marginalize_poses",
     "optimize_window",
 ]

@@ -79,7 +79,11 @@ class GraphConfig(NamedTuple):
 
 
 class GraphState(NamedTuple):
-    """Fixed-capacity pose-graph problem + current estimates."""
+    """Fixed-capacity pose-graph problem + current estimates.
+
+    ``prior_lm_h``/``prior_lm_mean`` carry per-landmark Gaussian
+    priors in information form — the residue of marginalized-out
+    poses (see `marginalize_poses`). Zero information = no prior."""
 
     pose_q: jnp.ndarray    # (T, 4) wxyz camera-to-world
     pose_t: jnp.ndarray    # (T, 3)
@@ -92,6 +96,8 @@ class GraphState(NamedTuple):
     f_sig: jnp.ndarray     # (F, 3) per-axis whitening sigmas
     f_valid: jnp.ndarray   # (F,) bool
     f_count: jnp.ndarray   # () int32
+    prior_lm_h: jnp.ndarray     # (L, 3, 3) information
+    prior_lm_mean: jnp.ndarray  # (L, 3)
 
 
 def init_graph(cfg: GraphConfig, cam_t=None, cam_q=None) -> GraphState:
@@ -114,6 +120,8 @@ def init_graph(cfg: GraphConfig, cam_t=None, cam_q=None) -> GraphState:
         f_sig=jnp.full((cfg.max_factors, 3), cfg.meas_sigma_t, dt),
         f_valid=jnp.zeros(cfg.max_factors, bool),
         f_count=jnp.asarray(0, jnp.int32),
+        prior_lm_h=jnp.zeros((cfg.max_landmarks, 3, 3), dt),
+        prior_lm_mean=jnp.zeros((cfg.max_landmarks, 3), dt),
     )
 
 
@@ -182,6 +190,167 @@ def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
         pose_q=pose_q, pose_t=pose_t, lm=lm, lm_active=lm_active,
         num_poses=num_poses, f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl,
         f_sig=f_sig, f_valid=f_valid, f_count=f_count)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def marginalize_poses(cfg: GraphConfig, state: GraphState,
+                      n_drop: int) -> GraphState:
+    """Drop the oldest `n_drop` poses, absorbing their information
+    into per-landmark Gaussian priors — the bounded-memory online mode
+    (the capability the reference gets from `graph.resize(100)` +
+    ISAM2's marginalization, reference factor_graph.py:220-224).
+
+    Exactness: the dropped subsystem (all factors touching poses
+    < n_drop) is linearized at the current estimate and the dropped
+    poses are Schur-eliminated jointly. Of the resulting fill-in we
+    keep the landmark block DIAGONAL (cross-landmark and landmark-to-
+    kept-pose coupling is discarded — the standard sliding-window
+    approximation; the first kept pose is gauge-frozen afterwards, so
+    its fill-in row carries no information anyway).
+
+    Pose 0's Jacobians are dropped (it was the frozen gauge anchor —
+    a fixed parameter, not a variable to eliminate).
+    """
+    dt = cfg.dtype
+    tcap, lcap = cfg.max_poses, cfg.max_landmarks
+    d6 = n_drop * 6
+    z6 = jnp.zeros(6, dt)
+    z3 = jnp.zeros(3, dt)
+
+    dropped = state.f_valid & (state.f_pose < n_drop)
+    fq = state.pose_q[state.f_pose]
+    ft = state.pose_t[state.f_pose]
+    fl = state.lm[state.f_lm]
+
+    def meas_all(q, t, l, tcl, sig):
+        r = _meas_residual(z6, z3, q, t, l, tcl, sig)
+        jp, jl = jax.jacfwd(_meas_residual, argnums=(0, 1))(
+            z6, z3, q, t, l, tcl, sig)
+        return r, jp, jl
+
+    r_m, jp_m, jl_m = jax.vmap(meas_all)(fq, ft, fl, state.f_tcl,
+                                         state.f_sig)
+    if cfg.huber_delta > 0.0:
+        rn = jnp.linalg.norm(r_m, axis=-1)
+        wgt = jnp.sqrt(jnp.minimum(
+            1.0, cfg.huber_delta / jnp.maximum(rn, 1e-12))).astype(dt)
+        r_m, jp_m, jl_m = (r_m * wgt[:, None], jp_m * wgt[:, None, None],
+                           jl_m * wgt[:, None, None])
+    r_m = jnp.where(dropped[:, None], r_m, 0.0)
+    # pose 0 = frozen gauge: not a variable
+    jp_m = jnp.where((dropped & (state.f_pose > 0))[:, None, None],
+                     jp_m, 0.0)
+    jl_m = jnp.where(dropped[:, None, None], jl_m, 0.0)
+
+    # dropped-pose system H_dd (6D, 6D), clamped scatter indices
+    fp = jnp.minimum(state.f_pose, n_drop - 1)
+    h_dd4 = jnp.zeros((n_drop, 6, n_drop, 6), dt)
+    h_dd4 = h_dd4.at[fp, :, fp, :].add(
+        jnp.einsum("fmi,fmj->fij", jp_m, jp_m))
+    g_d = jnp.zeros((n_drop, 6), dt).at[fp].add(
+        -jnp.einsum("fmi,fm->fi", jp_m, r_m))
+
+    # odometry factors among dropped poses (pairs a=i, b=i-1, a<n_drop)
+    # and the boundary pair a=n_drop (kept, treated as fixed): only
+    # its J_b (dropped side) enters
+    idx_a = jnp.arange(1, tcap)
+    idx_b = jnp.arange(0, tcap - 1)
+    o_live = idx_a < state.num_poses
+
+    def odom_all(qa, ta, qb, tb):
+        r = _odom_residual(z6, z6, qa, ta, qb, tb,
+                           cfg.odom_sigma_rot, cfg.odom_sigma_t)
+        ja, jb = jax.jacfwd(_odom_residual, argnums=(0, 1))(
+            z6, z6, qa, ta, qb, tb, cfg.odom_sigma_rot,
+            cfg.odom_sigma_t)
+        return r, ja, jb
+
+    r_o, ja_o, jb_o = jax.vmap(odom_all)(
+        state.pose_q[idx_a], state.pose_t[idx_a],
+        state.pose_q[idx_b], state.pose_t[idx_b])
+    o_drop = o_live & (idx_a <= n_drop)      # touches a dropped pose
+    r_o = jnp.where(o_drop[:, None], r_o, 0.0)
+    ja_o = jnp.where((o_drop & (idx_a < n_drop))[:, None, None],
+                     ja_o, 0.0)
+    jb_o = jnp.where((o_drop & (idx_b > 0))[:, None, None], jb_o, 0.0)
+    oa = jnp.minimum(idx_a, n_drop - 1)
+    ob = jnp.minimum(idx_b, n_drop - 1)
+    h_dd4 = h_dd4.at[oa, :, oa, :].add(
+        jnp.einsum("fmi,fmj->fij", ja_o, ja_o))
+    h_dd4 = h_dd4.at[ob, :, ob, :].add(
+        jnp.einsum("fmi,fmj->fij", jb_o, jb_o))
+    cross = jnp.einsum("fmi,fmj->fij", ja_o, jb_o)
+    h_dd4 = h_dd4.at[oa, :, ob, :].add(cross)
+    h_dd4 = h_dd4.at[ob, :, oa, :].add(jnp.swapaxes(cross, -1, -2))
+    g_d = g_d.at[oa].add(-jnp.einsum("fmi,fm->fi", ja_o, r_o))
+    g_d = g_d.at[ob].add(-jnp.einsum("fmi,fm->fi", jb_o, r_o))
+    h_dd = h_dd4.reshape(d6, d6) + 1e-6 * jnp.eye(d6, dtype=dt)
+
+    # coupling W (6D, L, 3) and dropped-factor landmark blocks
+    w_d = jnp.zeros((n_drop, 6, lcap, 3), dt)
+    w_d = w_d.at[fp, :, state.f_lm, :].add(
+        jnp.einsum("fmi,fmj->fij", jp_m, jl_m))
+    w_d = w_d.reshape(d6, lcap, 3)
+    h_ll_f = jnp.zeros((lcap, 3, 3), dt).at[state.f_lm].add(
+        jnp.einsum("fmi,fmj->fij", jl_m, jl_m))
+    g_lf = jnp.zeros((lcap, 3), dt).at[state.f_lm].add(
+        -jnp.einsum("fmi,fm->fi", jl_m, r_m))
+
+    # Schur: Λ_add[j] = H_j − W_jᵀ H_dd⁻¹ W_j ; g'_j = g_j − W_jᵀ H_dd⁻¹ g_d
+    fact = cho_factor(h_dd, lower=True)
+    hinv_w = cho_solve(fact, w_d.reshape(d6, lcap * 3)) \
+        .reshape(d6, lcap, 3)
+    lam_add = h_ll_f - jnp.einsum("nlj,nlk->ljk", w_d, hinv_w)
+    lam_add = 0.5 * (lam_add + jnp.swapaxes(lam_add, -1, -2))
+    hinv_g = cho_solve(fact, g_d.reshape(d6))
+    g_sch = g_lf - jnp.einsum("nlj,n->lj", w_d, hinv_g)
+
+    # fold into the existing prior: the new information sits at mean
+    # m_add with Λ_add m_add = Λ_add lm + g' (by construction at the
+    # linearization point), so the information-weighted mean combine
+    # needs no solve against the possibly-singular Λ_add itself
+    eye3 = jnp.eye(3, dtype=dt)
+    lam_new = state.prior_lm_h + lam_add
+    lam_new_s = lam_new + 1e-8 * eye3[None]
+    num = jnp.einsum("lij,lj->li", state.prior_lm_h,
+                     state.prior_lm_mean) \
+        + jnp.einsum("lij,lj->li", lam_add, state.lm) + g_sch
+    m_new = jnp.linalg.solve(lam_new_s, num[..., None])[..., 0]
+    touched = jnp.zeros(lcap, bool).at[
+        jnp.where(dropped, state.f_lm, lcap)].set(True, mode="drop")
+    prior_lm_h = jnp.where(touched[:, None, None], lam_new,
+                           state.prior_lm_h)
+    prior_lm_mean = jnp.where(touched[:, None], m_new,
+                              state.prior_lm_mean)
+
+    # compact: drop absorbed factors, shift pose indices down
+    keep = state.f_valid & (state.f_pose >= n_drop)
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, rank, cfg.max_factors)
+
+    def compact(arr, fill=0):
+        out = jnp.full_like(arr, fill)
+        return out.at[dest].set(arr, mode="drop")
+
+    f_pose = compact(state.f_pose) - jnp.asarray(n_drop, jnp.int32)
+    f_pose = jnp.maximum(f_pose, 0)
+    f_lm = compact(state.f_lm)
+    f_tcl = compact(state.f_tcl)
+    # invalid slots keep a nonzero sigma (residuals divide by it
+    # before the validity mask zeroes them)
+    f_sig = compact(state.f_sig, fill=cfg.meas_sigma_t)
+    f_valid = compact(state.f_valid.astype(jnp.int32)).astype(bool)
+    f_count = jnp.sum(keep, dtype=jnp.int32)
+
+    pose_q = jnp.roll(state.pose_q, -n_drop, axis=0)
+    pose_t = jnp.roll(state.pose_t, -n_drop, axis=0)
+    num_poses = jnp.maximum(state.num_poses - n_drop, 1)
+
+    return state._replace(
+        pose_q=pose_q, pose_t=pose_t, num_poses=num_poses,
+        f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl, f_sig=f_sig,
+        f_valid=f_valid, f_count=f_count,
+        prior_lm_h=prior_lm_h, prior_lm_mean=prior_lm_mean)
 
 
 # ---------------------------------------------------------------------------
@@ -351,12 +520,20 @@ def _linearize(cfg: GraphConfig, state: GraphState, free_from,
     # inactive landmarks: identity so the block inverse is well defined
     h_ll = meas.h_ll + jnp.where(
         state.lm_active[:, None, None], 0.0, 1.0) * jnp.eye(3, dtype=dt)
+    # marginalization priors (information form): quadratic factors
+    # 0.5 (l - m)' Λ (l - m) per landmark (see marginalize_poses)
+    h_ll = h_ll + state.prior_lm_h
+    prior_r = state.prior_lm_mean - state.lm         # (L, 3)
+    g_l4 = meas.g_l + jnp.einsum(
+        "lij,lj->li", state.prior_lm_h, prior_r)
+    cost = cost + jnp.sum(prior_r * jnp.einsum(
+        "lij,lj->li", state.prior_lm_h, prior_r))
 
     g_p = meas.g_p
     g_p = g_p.at[idx_a].add(-jnp.einsum("fmi,fm->fi", ja_o, r_o))
     g_p = g_p.at[idx_b].add(-jnp.einsum("fmi,fm->fi", jb_o, r_o))
     g_p = g_p.reshape(tcap * 6)
-    g_l = meas.g_l.reshape(lcap * 3)
+    g_l = g_l4.reshape(lcap * 3)
 
     return h_pp, w, h_ll, g_p, g_l, cost
 
@@ -421,7 +598,10 @@ def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
     )(state.pose_q[idx_a], state.pose_t[idx_a],
       state.pose_q[idx_b], state.pose_t[idx_b])
     r_o = jnp.where((idx_a < state.num_poses)[:, None], r_o, 0.0)
-    return jnp.sum(r_m * r_m) + jnp.sum(r_o * r_o)
+    pr = state.lm - state.prior_lm_mean
+    prior_cost = jnp.sum(pr * jnp.einsum("lij,lj->li",
+                                         state.prior_lm_h, pr))
+    return jnp.sum(r_m * r_m) + jnp.sum(r_o * r_o) + prior_cost
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -61,7 +61,7 @@ def _sharded_meas_terms(cfg: GraphConfig, mesh: Mesh, axis: str):
                 pose_q=P(), pose_t=P(), lm=P(), lm_active=P(),
                 num_poses=P(), f_pose=P(axis), f_lm=P(axis),
                 f_tcl=P(axis), f_sig=P(axis), f_valid=P(axis),
-                f_count=P()),
+                f_count=P(), prior_lm_h=P(), prior_lm_mean=P()),
             P(),
         ),
         out_specs=MeasTerms(diag=P(), w4=P(), h_ll=P(), g_p=P(),
@@ -128,7 +128,8 @@ def sharded_batch_optimize(cfg: GraphConfig, state: GraphState,
     sharding = GraphState(
         pose_q=P(), pose_t=P(), lm=P(), lm_active=P(), num_poses=P(),
         f_pose=P(axis), f_lm=P(axis), f_tcl=P(axis), f_sig=P(axis),
-        f_valid=P(axis), f_count=P())
+        f_valid=P(axis), f_count=P(),
+        prior_lm_h=P(), prior_lm_mean=P())
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sharding,
                             is_leaf=lambda x: isinstance(x, P)))

@@ -209,3 +209,41 @@ def test_huber_robust_ba_shrugs_off_outliers():
         assert np.isfinite(float(cost))
         errs[hd] = ate.ate_rmse(np.asarray(st.pose_t[:30]), traj.cam_t)
     assert errs[2.0] < errs[0.0] * 0.8, errs
+
+
+def test_marginalization_bounded_window():
+    """Bounded-memory online smoothing: a 48-pose budget with Schur
+    marginalization of departing poses must match the unbounded
+    sliding-window run on a 120-frame orbit (the reference's
+    graph.resize(100) role, done without discarding information)."""
+    from aruco_slam_tpu.graph import marginalize_poses, optimize_window
+
+    frames = 120
+    scene = synthetic.make_wall_scene(num_markers=8, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    obs = synthetic.observe_poses(scene, traj, 16, noise_t=0.005,
+                                  fov_limit=0.75)
+
+    def run(max_poses, max_factors, bound):
+        cfg = GraphConfig(max_poses=max_poses, max_landmarks=16,
+                          max_factors=max_factors,
+                          meas_sigma_t=0.01, odom_sigma_t=1.0,
+                          odom_sigma_rot=1.0)
+        st = init_graph(cfg)
+        est = np.zeros((frames, 3))
+        for i in range(frames):
+            st = add_frame(cfg, st, jnp.asarray(obs.t_cl[i]),
+                           jnp.asarray(obs.mask[i]))
+            st, _ = optimize_window(cfg, st, window=8, iters=3)
+            est[i] = np.asarray(st.pose_t[int(st.num_poses) - 2])
+            if bound and int(st.num_poses) >= max_poses - 1:
+                st = marginalize_poses(cfg, st, max_poses // 2)
+        assert int(st.num_poses) < max_poses
+        return est
+
+    est_full = run(frames + 2, frames * 10, False)
+    est_bound = run(48, 48 * 8, True)
+    e_full = ate.ate_rmse(est_full, traj.cam_t)
+    e_bound = ate.ate_rmse(est_bound, traj.cam_t)
+    assert e_bound < 0.05, e_bound
+    assert e_bound < 2.0 * e_full + 0.01, (e_bound, e_full)
