@@ -90,13 +90,14 @@ class VideoSource:
         """Yield (timestamp_s, grayscale uint8 (H, W)) per frame."""
         w, h = self.size if self.size else (None, None)
         if self._mode == "imageio":
+            from aruco_slam_tpu.io import native
             fps = 30.0
             for i, frame in enumerate(
                     self._iio.imiter(self.path, plugin="pyav")):
-                gray = frame.mean(axis=-1).astype(np.uint8) \
-                    if frame.ndim == 3 else frame
-                if self.size:
-                    gray = _resize_nearest(gray, (h, w))
+                # single native pass: BT.601 grayscale + resize
+                # (native/hostpipe.cpp hp_gray_resize; numpy fallback)
+                out_hw = (h, w) if self.size else frame.shape[:2]
+                gray = native.gray_resize(frame, out_hw)
                 yield i / fps, gray
         else:
             cap = self._cv2.VideoCapture(self.path)
@@ -111,9 +112,3 @@ class VideoSource:
                 yield ts, gray
             cap.release()
 
-
-def _resize_nearest(img: np.ndarray, shape) -> np.ndarray:
-    h, w = shape
-    ys = (np.arange(h) * img.shape[0] / h).astype(np.int64)
-    xs = (np.arange(w) * img.shape[1] / w).astype(np.int64)
-    return img[ys][:, xs]
