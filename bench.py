@@ -71,14 +71,12 @@ def main() -> None:
     # single-stream: the fused pallas kernel minimizes per-frame
     # latency. batched: a vmapped pallas_call serializes its batch
     # grid, so the batched program uses the XLA Newton-Schulz solver,
-    # which vmaps into batched MXU GEMMs.
-    single = jax.jit(make_pipeline(fcfg))
-    # serving precision: bf16 covariance products with an f32-pinned
-    # gain chain ("mixed") — the covariance tolerates bf16 noise while
-    # S stays numerically PSD for the Newton-Schulz solver
+    # which vmaps into batched MXU GEMMs. Serving precision: bf16
+    # covariance products with an f32-pinned gain chain ("mixed") —
+    # the covariance tolerates bf16 noise while S stays numerically
+    # PSD for the Newton-Schulz solver.
     fcfg_b = fcfg._replace(pallas_update=False, s_solver="ns",
                            matmul_precision="mixed")
-    batched = jax.jit(jax.vmap(make_pipeline(fcfg_b), in_axes=(None, 0, 0)))
 
     # B sequence variants: shared geometry, distinct pixel noise so the
     # tunneled executor cannot memoize identical calls
@@ -88,24 +86,29 @@ def main() -> None:
         jnp.float32)
     mask_b = jnp.broadcast_to(mask_d, (BATCH,) + mask.shape)
 
-    # compile + warm up both programs
-    jax.block_until_ready(single(state0, corners_d, mask_d)[1])
-    jax.block_until_ready(batched(state0, corners_b, mask_b)[1])
+    # repetitions run ON DEVICE in one dispatch: the tunneled
+    # executor's per-call RTT dominates sub-200ms programs (the
+    # single-stream pipeline measured 3.7x slower when timed with
+    # Python-side dispatches). Each rep's input depends on the carry
+    # so XLA cannot hoist the work out of the loop.
+    def on_device_reps(pipe_fn, state, corners, mask, reps):
+        @jax.jit
+        def timed(c, m, s):
+            def body(_, acc):
+                _, tr = pipe_fn(s, c + acc * 1e-20, m)
+                return acc + tr.sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    t0 = time.perf_counter()
-    reps = 5
-    for r in range(reps):
-        # distinct inputs per rep (tunnel memoization, see above)
-        out = single(state0, corners_d + (r + 1) * 1e-6, mask_d)[1]
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(timed(corners, mask, state))  # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(timed(corners, mask, state))
+        return (time.perf_counter() - t0) / reps
+
+    single_fn = make_pipeline(fcfg)
+    batched_fn = jax.vmap(make_pipeline(fcfg_b), in_axes=(None, 0, 0))
+    dt = on_device_reps(single_fn, state0, corners_d, mask_d, reps=8)
     single_fps = FRAMES / dt
-
-    t0 = time.perf_counter()
-    for r in range(reps):
-        out = batched(state0, corners_b + (r + 1) * 1e-6, mask_b)[1]
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    dt = on_device_reps(batched_fn, state0, corners_b, mask_b, reps=2)
     batched_fps = BATCH * FRAMES / dt
 
     print(json.dumps({
