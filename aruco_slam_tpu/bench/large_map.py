@@ -97,17 +97,13 @@ def main(argv=None) -> None:
     jax.block_until_ready(batched(state0, corners_b, mask_b)[1])
     ate = ate_rmse(np.asarray(est[:, :3]), traj.cam_t)
 
-    t0 = time.perf_counter()
-    for r in range(args.reps):
-        jax.block_until_ready(
-            single(state0, corners_d + (r + 1) * 1e-6, mask_d)[1])
-    single_fps = args.frames / ((time.perf_counter() - t0) / args.reps)
-
-    t0 = time.perf_counter()
-    for r in range(args.reps):
-        jax.block_until_ready(
-            batched(state0, corners_b + (r + 1) * 1e-6, mask_b)[1])
-    dt = (time.perf_counter() - t0) / args.reps
+    from aruco_slam_tpu.bench.pipeline import time_on_device
+    dt = time_on_device(pipeline, state0, corners_d, mask_d,
+                        reps=args.reps)
+    single_fps = args.frames / dt
+    dt = time_on_device(
+        jax.vmap(pipeline, in_axes=(None, 0, 0)), state0, corners_b,
+        mask_b, reps=max(1, args.reps - 1))
     fps = args.batch * args.frames / dt
 
     # offline smoothing at the same scale (north-star config 3): full

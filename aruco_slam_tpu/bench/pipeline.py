@@ -7,10 +7,33 @@ between them.
 
 from __future__ import annotations
 
+import time
+
 import jax
+import jax.numpy as jnp
 
 from aruco_slam_tpu.filters import FrameObservations, mekf_scan
 from aruco_slam_tpu.ops import pnp
+
+
+def time_on_device(pipe_fn, state, corners, mask, reps: int) -> float:
+    """Seconds per pipeline call, measured with the repetitions ON
+    DEVICE in one dispatch — the tunneled executor's per-call RTT
+    dominates sub-200ms programs otherwise (the single-stream pipeline
+    measured 3.7x slower with Python-side dispatch timing). Each rep's
+    input depends on the loop carry so XLA cannot hoist the work."""
+
+    @jax.jit
+    def timed(c, m, s):
+        def body(_, acc):
+            _, tr = pipe_fn(s, c + acc * 1e-20, m)
+            return acc + tr.sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    jax.block_until_ready(timed(corners, mask, state))  # compile+warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(timed(corners, mask, state))
+    return (time.perf_counter() - t0) / reps
 
 
 def make_pipeline(cam, marker_size: float, fcfg, chunk: int = 16,

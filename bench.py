@@ -19,7 +19,6 @@ the same observation boundary (45.1 fps @ 8 visible markers of a
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -86,29 +85,13 @@ def main() -> None:
         jnp.float32)
     mask_b = jnp.broadcast_to(mask_d, (BATCH,) + mask.shape)
 
-    # repetitions run ON DEVICE in one dispatch: the tunneled
-    # executor's per-call RTT dominates sub-200ms programs (the
-    # single-stream pipeline measured 3.7x slower when timed with
-    # Python-side dispatches). Each rep's input depends on the carry
-    # so XLA cannot hoist the work out of the loop.
-    def on_device_reps(pipe_fn, state, corners, mask, reps):
-        @jax.jit
-        def timed(c, m, s):
-            def body(_, acc):
-                _, tr = pipe_fn(s, c + acc * 1e-20, m)
-                return acc + tr.sum()
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
-
-        jax.block_until_ready(timed(corners, mask, state))  # compile
-        t0 = time.perf_counter()
-        jax.block_until_ready(timed(corners, mask, state))
-        return (time.perf_counter() - t0) / reps
+    from aruco_slam_tpu.bench.pipeline import time_on_device
 
     single_fn = make_pipeline(fcfg)
     batched_fn = jax.vmap(make_pipeline(fcfg_b), in_axes=(None, 0, 0))
-    dt = on_device_reps(single_fn, state0, corners_d, mask_d, reps=8)
+    dt = time_on_device(single_fn, state0, corners_d, mask_d, reps=8)
     single_fps = FRAMES / dt
-    dt = on_device_reps(batched_fn, state0, corners_b, mask_b, reps=2)
+    dt = time_on_device(batched_fn, state0, corners_b, mask_b, reps=2)
     batched_fps = BATCH * FRAMES / dt
 
     print(json.dumps({
