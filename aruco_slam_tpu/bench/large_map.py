@@ -83,7 +83,6 @@ def main(argv=None) -> None:
     pipeline = make_pipeline(cam, marker_size, fcfg, chunk=16)
 
     single = jax.jit(pipeline)
-    batched = jax.jit(jax.vmap(pipeline, in_axes=(None, 0, 0)))
 
     corners_d = jnp.asarray(corners, jnp.float32)
     mask_d = jnp.asarray(mask)
@@ -94,7 +93,6 @@ def main(argv=None) -> None:
     mask_b = jnp.broadcast_to(mask_d, (args.batch,) + mask.shape)
 
     _, est = jax.block_until_ready(single(state0, corners_d, mask_d))
-    jax.block_until_ready(batched(state0, corners_b, mask_b)[1])
     ate = ate_rmse(np.asarray(est[:, :3]), traj.cam_t)
 
     from aruco_slam_tpu.bench.pipeline import time_on_device
