@@ -63,6 +63,13 @@ def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
         row = {"devices": n, "seconds": round(dt, 4),
                "speedup": round(base_dt / dt, 3),
                "efficiency": round(eff, 3)}
+        if jax.default_backend() == "cpu":
+            # virtual devices time-share the same host cores, so the
+            # "speedup" column is meaningless there by construction
+            row["note"] = ("virtual CPU devices share host cores: "
+                           "validates collective layout/mechanics, "
+                           "NOT speedup — run on a real multi-chip "
+                           "slice for efficiency numbers")
         results.append(row)
         print(json.dumps(row))
     return results
