@@ -453,30 +453,14 @@ def pose_free_mask(cfg: GraphConfig, state: GraphState, free_from):
         & (jnp.arange(cfg.max_poses) < state.num_poses)
 
 
-def _linearize(cfg: GraphConfig, state: GraphState, free_from,
-               meas: MeasTerms | None = None):
-    """Build the dense Schur-ready normal equations.
-
-    ``free_from``: first free pose index (int32 scalar). Poses with
-    index < free_from (and the gauge pose 0, and padded poses) are
-    frozen: their Jacobian columns are dropped. Landmarks are always
-    free (matching ISAM2, which keeps landmarks active).
-
-    ``meas``: pre-summed measurement terms (the distributed path
-    supplies the psum of per-shard `_meas_terms`); computed locally
-    when None.
-
-    Returns (h_pp, w, h_ll, g_p, g_l, cost):
-      h_pp (T*6, T*6), w (T*6, L*3), h_ll (L, 3, 3), g_p (T*6,),
-      g_l (L*3,), cost ().
-    """
+def _pose_system(cfg: GraphConfig, state: GraphState, pose_free,
+                 meas: MeasTerms):
+    """Odometry factors + measurement pose blocks → dense pose-pose
+    system. Returns (h_pp (T6, T6), g_p (T6,), cost_meas+odom).
+    Pose-side only: independent of any landmark sharding."""
     dt = cfg.dtype
-    tcap, lcap = cfg.max_poses, cfg.max_landmarks
+    tcap = cfg.max_poses
     z6 = jnp.zeros(6, dt)
-
-    pose_free = pose_free_mask(cfg, state, free_from)
-    if meas is None:
-        meas = _meas_terms(cfg, state, pose_free)
 
     # --- odometry factors between consecutive live poses ---
     idx_a = jnp.arange(1, tcap)             # X_i
@@ -516,46 +500,101 @@ def _linearize(cfg: GraphConfig, state: GraphState, free_from,
         jnp.where(frozen[:, None, None], jnp.eye(6, dtype=dt), 0.0))
     h_pp = h4.reshape(tcap * 6, tcap * 6)
 
-    w = meas.w4.reshape(tcap * 6, lcap * 3)
-    # inactive landmarks: identity so the block inverse is well defined
-    h_ll = meas.h_ll + jnp.where(
-        state.lm_active[:, None, None], 0.0, 1.0) * jnp.eye(3, dtype=dt)
-    # marginalization priors (information form): quadratic factors
-    # 0.5 (l - m)' Λ (l - m) per landmark (see marginalize_poses)
-    h_ll = h_ll + state.prior_lm_h
-    prior_r = state.prior_lm_mean - state.lm         # (L, 3)
-    g_l4 = meas.g_l + jnp.einsum(
-        "lij,lj->li", state.prior_lm_h, prior_r)
-    cost = cost + jnp.sum(prior_r * jnp.einsum(
-        "lij,lj->li", state.prior_lm_h, prior_r))
-
     g_p = meas.g_p
     g_p = g_p.at[idx_a].add(-jnp.einsum("fmi,fm->fi", ja_o, r_o))
     g_p = g_p.at[idx_b].add(-jnp.einsum("fmi,fm->fi", jb_o, r_o))
-    g_p = g_p.reshape(tcap * 6)
-    g_l = g_l4.reshape(lcap * 3)
+    return h_pp, g_p.reshape(tcap * 6), cost
 
-    return h_pp, w, h_ll, g_p, g_l, cost
+
+def _landmark_system(cfg: GraphConfig, lm, lm_active, prior_h,
+                     prior_mean, meas_h_ll, meas_g_l):
+    """Landmark blocks + marginalization priors. Works on the full
+    landmark set or (in the distributed path) on this device's
+    landmark SHARD — every input is per-landmark, so slicing is
+    exact. Returns (h_ll (l, 3, 3), g_l (l, 3), prior_cost)."""
+    dt = cfg.dtype
+    # inactive landmarks: identity so the block inverse is well defined
+    h_ll = meas_h_ll + jnp.where(
+        lm_active[:, None, None], 0.0, 1.0) * jnp.eye(3, dtype=dt)
+    # marginalization priors (information form): quadratic factors
+    # 0.5 (l - m)' Λ (l - m) per landmark (see marginalize_poses)
+    h_ll = h_ll + prior_h
+    prior_r = prior_mean - lm                        # (l, 3)
+    hp = jnp.einsum("lij,lj->li", prior_h, prior_r)
+    g_l = meas_g_l + hp
+    return h_ll, g_l, jnp.sum(prior_r * hp)
+
+
+def _linearize(cfg: GraphConfig, state: GraphState, free_from,
+               meas: MeasTerms | None = None):
+    """Build the dense Schur-ready normal equations.
+
+    ``free_from``: first free pose index (int32 scalar). Poses with
+    index < free_from (and the gauge pose 0, and padded poses) are
+    frozen: their Jacobian columns are dropped. Landmarks are always
+    free (matching ISAM2, which keeps landmarks active).
+
+    ``meas``: pre-summed measurement terms (a distributed path may
+    supply the psum of per-shard `_meas_terms`); computed locally
+    when None.
+
+    Returns (h_pp, w, h_ll, g_p, g_l, cost):
+      h_pp (T*6, T*6), w (T*6, L*3), h_ll (L, 3, 3), g_p (T*6,),
+      g_l (L*3,), cost ().
+    """
+    tcap, lcap = cfg.max_poses, cfg.max_landmarks
+    pose_free = pose_free_mask(cfg, state, free_from)
+    if meas is None:
+        meas = _meas_terms(cfg, state, pose_free)
+    h_pp, g_p, cost = _pose_system(cfg, state, pose_free, meas)
+    h_ll, g_l4, prior_cost = _landmark_system(
+        cfg, state.lm, state.lm_active, state.prior_lm_h,
+        state.prior_lm_mean, meas.h_ll, meas.g_l)
+    w = meas.w4.reshape(tcap * 6, lcap * 3)
+    return h_pp, w, h_ll, g_p, g_l4.reshape(lcap * 3), cost + prior_cost
+
+
+def _schur_reduce(h_ll, w3, g_l3, damping):
+    """Per-landmark(-shard) half of the Schur complement.
+
+    h_ll (l, 3, 3), w3 (T6, l, 3), g_l3 (l, 3) — `l` may be the full
+    landmark capacity or one device's shard; every output is a plain
+    SUM over landmarks, so shard partials combine with one psum.
+    Returns (h_ll_inv, w_hinv, s_meas (T6, T6), g_s_meas (T6,)).
+    """
+    dt = w3.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+    h_ll_inv = jnp.linalg.inv(h_ll + damping * eye3[None])
+    w_hinv = jnp.einsum("nlk,lkm->nlm", w3, h_ll_inv)    # (T6, l, 3)
+    s_meas = jnp.einsum("nlm,plm->np", w_hinv, w3)
+    g_s_meas = jnp.einsum("nlm,lm->n", w_hinv, g_l3)
+    return h_ll_inv, w_hinv, s_meas, g_s_meas
+
+
+def _schur_pose_solve(h_pp, g_p, s_meas, g_s_meas, damping):
+    """Solve the reduced camera system S dp = g_s (replicated)."""
+    dt = h_pp.dtype
+    s = h_pp - s_meas
+    s = s + damping * jnp.eye(s.shape[0], dtype=dt)
+    fact = cho_factor(s, lower=True)
+    return cho_solve(fact, g_p - g_s_meas)
+
+
+def _schur_back_substitute(h_ll_inv, w3, g_l3, dp):
+    """Per-landmark(-shard) back-substitution dl = H_ll⁻¹(g_l − Wᵀdp)."""
+    rhs_l = g_l3 - jnp.einsum("nlm,n->lm", w3, dp)
+    return jnp.einsum("lkm,lm->lk", h_ll_inv, rhs_l)
 
 
 def _schur_solve(cfg: GraphConfig, h_pp, w, h_ll, g_p, g_l, damping):
     """Schur-eliminate landmarks, solve the reduced camera system."""
-    dt = cfg.dtype
     lcap = cfg.max_landmarks
-    eye3 = jnp.eye(3, dtype=dt)
-    h_ll_d = h_ll + damping * eye3[None]
-    h_ll_inv = jnp.linalg.inv(h_ll_d)                    # (L, 3, 3)
     w3 = w.reshape(-1, lcap, 3)                          # (T6, L, 3)
-    w_hinv = jnp.einsum("nlk,lkm->nlm", w3, h_ll_inv)    # (T6, L, 3)
-    s = h_pp - jnp.einsum("nlm,plm->np", w_hinv, w3)
-    s = s + damping * jnp.eye(s.shape[0], dtype=dt)
-    g_s = g_p - jnp.einsum(
-        "nlm,lm->n", w_hinv, g_l.reshape(lcap, 3))
-    fact = cho_factor(s, lower=True)
-    dp = cho_solve(fact, g_s)
-    rhs_l = g_l.reshape(lcap, 3) - jnp.einsum(
-        "nlm,n->lm", w3, dp)
-    dl = jnp.einsum("lkm,lm->lk", h_ll_inv, rhs_l)
+    g_l3 = g_l.reshape(lcap, 3)
+    h_ll_inv, _, s_meas, g_s_meas = _schur_reduce(h_ll, w3, g_l3,
+                                                  damping)
+    dp = _schur_pose_solve(h_pp, g_p, s_meas, g_s_meas, damping)
+    dl = _schur_back_substitute(h_ll_inv, w3, g_l3, dp)
     return dp.reshape(-1, 6), dl
 
 
