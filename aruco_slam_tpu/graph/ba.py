@@ -611,8 +611,15 @@ def _retract(state: GraphState, dp, dl, free_from):
                           lm=state.lm + dl)
 
 
-def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
-    """Total whitened squared error at the current estimate."""
+def _cost_parts(cfg: GraphConfig, state: GraphState
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Whitened squared error split into (shardable, replicated) parts.
+
+    The first term sums over factors and landmarks — computed on a
+    factor/landmark shard it is a partial sum that combines with one
+    psum. The second (odometry) term depends only on the replicated
+    pose arrays, so a sharded caller adds it WITHOUT reduction.
+    """
     dt = cfg.dtype
     fq = state.pose_q[state.f_pose]
     ft = state.pose_t[state.f_pose]
@@ -640,7 +647,13 @@ def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
     pr = state.lm - state.prior_lm_mean
     prior_cost = jnp.sum(pr * jnp.einsum("lij,lj->li",
                                          state.prior_lm_h, pr))
-    return jnp.sum(r_m * r_m) + jnp.sum(r_o * r_o) + prior_cost
+    return jnp.sum(r_m * r_m) + prior_cost, jnp.sum(r_o * r_o)
+
+
+def _cost_only(cfg: GraphConfig, state: GraphState) -> jnp.ndarray:
+    """Total whitened squared error at the current estimate."""
+    shardable, odom = _cost_parts(cfg, state)
+    return shardable + odom
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

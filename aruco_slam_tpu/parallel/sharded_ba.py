@@ -1,78 +1,128 @@
 """Distributed Schur-complement bundle adjustment.
 
 SPMD decomposition (the north star's "partition keyframes and
-landmark/map blocks ... all-reduce/reduce-scatter over ICI"):
+landmark/map blocks ... all-reduce/reduce-scatter over ICI"), built on
+one structural fact of marker SLAM: **every measurement factor touches
+exactly one landmark**. Partitioning the factors BY LANDMARK SHARD
+therefore makes the whole landmark side of the normal equations
+device-local:
 
-* The O(F) work — residuals, Jacobian blocks, and their products — is
-  **sharded over the measurement factors** along the mesh axis: each
-  device linearizes only its factor shard and produces partial sums of
-  the normal-equation terms (`MeasTerms`, a pure sum over factors).
-* Partials are combined with one `psum` over ICI.
-* The reduced camera system (6·T × 6·T after eliminating landmarks) is
-  small by construction — the whole point of the Schur complement — so
-  it is solved replicated on every device; no gather/broadcast round
-  trip is needed because the psum already left identical copies
-  everywhere.
+* landmarks (and their marginalization priors) are sharded over the
+  mesh axis — each device owns a contiguous global slice,
+* each device's factor shard contains exactly the factors observing
+  its landmarks, with `f_lm` rewritten to shard-local indices, so the
+  landmark blocks H_ll, the coupling columns W_:,j, and g_l are
+  assembled exactly on-device with **zero communication**,
+* the only collectives per LM iteration are small pose-sized psums:
+  the measurement pose blocks (T·6·6 + T·6), the partial Schur
+  complement S_partial = Σ_local W H_ll⁻¹ Wᵀ (T6 × T6), and the scalar
+  cost. The reduced camera system solve is replicated (it is tiny by
+  construction — that is the point of the Schur complement), and the
+  landmark back-substitution is again local per shard.
 
-The factor arrays are padded to a multiple of the mesh size; padded
-entries are invalid and contribute zero, so the sharded result is
-bit-identical (up to float reduction order) to the single-device path
-— asserted in tests/test_parallel.py.
+Communication volume per iteration is O(T²) and independent of both
+the landmark count and the factor count — the O(F + L) work is what
+scales across devices. Compare the previous design (factor sharding
+with a psum of the full (T,6,L,3) coupling tensor): that moved
+O(T·L) floats per iteration; this moves none of it.
+
+The sharded result is identical to the single-device
+`graph.batch_optimize` up to float reduction order — asserted in
+tests/test_parallel.py (f64, atol 1e-7).
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from aruco_slam_tpu.graph import ba
-from aruco_slam_tpu.graph.ba import GraphConfig, GraphState, MeasTerms
+from aruco_slam_tpu.graph.ba import GraphConfig, GraphState
 
 
-def _pad_factors(cfg: GraphConfig, state: GraphState, n: int
-                 ) -> tuple[GraphConfig, GraphState]:
-    """Pad factor capacity to a multiple of the mesh size."""
-    f = cfg.max_factors
-    pad = (-f) % n
-    if pad == 0:
-        return cfg, state
-    cfg2 = cfg._replace(max_factors=f + pad)
-    return cfg2, state._replace(
-        f_pose=jnp.pad(state.f_pose, (0, pad)),
-        f_lm=jnp.pad(state.f_lm, (0, pad)),
-        f_tcl=jnp.pad(state.f_tcl, ((0, pad), (0, 0))),
-        f_sig=jnp.pad(state.f_sig, ((0, pad), (0, 0)),
-                      constant_values=1.0),
-        f_valid=jnp.pad(state.f_valid, (0, pad)),
-    )
+def _state_specs(axis: str) -> GraphState:
+    """PartitionSpec pytree: poses replicated, landmarks + factors
+    sharded over `axis`."""
+    return GraphState(
+        pose_q=P(), pose_t=P(), lm=P(axis), lm_active=P(axis),
+        num_poses=P(), f_pose=P(axis), f_lm=P(axis), f_tcl=P(axis),
+        f_sig=P(axis), f_valid=P(axis), f_count=P(),
+        prior_lm_h=P(axis), prior_lm_mean=P(axis))
 
 
-def _sharded_meas_terms(cfg: GraphConfig, mesh: Mesh, axis: str):
-    """shard_map'd measurement linearization + psum reduction."""
+def _shard_capacity(cfg: GraphConfig, state: GraphState, n: int) -> int:
+    """Max factors any landmark shard holds, lane-aligned — the
+    per-device factor capacity a balanced repartition needs."""
+    lcap2 = -(-cfg.max_landmarks // n) * n
+    lm_per = lcap2 // n
+    f_lm = np.asarray(state.f_lm)
+    f_valid = np.asarray(state.f_valid)
+    shard = np.where(f_valid, f_lm // lm_per, -1)
+    counts = np.bincount(shard[shard >= 0], minlength=n)[:n]
+    return max(-(-int(counts.max()) // 8) * 8, 8)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(
-            GraphState(
-                pose_q=P(), pose_t=P(), lm=P(), lm_active=P(),
-                num_poses=P(), f_pose=P(axis), f_lm=P(axis),
-                f_tcl=P(axis), f_sig=P(axis), f_valid=P(axis),
-                f_count=P(), prior_lm_h=P(), prior_lm_mean=P()),
-            P(),
-        ),
-        out_specs=MeasTerms(diag=P(), w4=P(), h_ll=P(), g_p=P(),
-                            g_l=P(), cost=P()),
-    )
-    def fn(state_shard: GraphState, pose_free):
-        local = ba._meas_terms(cfg, state_shard, pose_free)
-        return jax.tree.map(
-            lambda x: jax.lax.psum(x, axis), local)
 
-    return fn
+def partition_by_landmark(cfg: GraphConfig, state: GraphState, n: int,
+                          f_shard: int | None = None
+                          ) -> tuple[GraphConfig, GraphState]:
+    """Host-side repartition: group factors by the landmark shard they
+    observe and localize `f_lm`.
+
+    Landmark capacity is padded to a multiple of `n`; device s owns
+    global landmarks [s·L/n, (s+1)·L/n). Factors observing shard s are
+    packed into the factor range [s·F̂, s·F̂ + count_s) where F̂ is the
+    max per-shard count (lane-aligned); the rest is invalid padding.
+    Landmark order is NOT permuted, so results slice back trivially.
+
+    Runs on concrete (host) values — it is data-dependent layout work,
+    done once per batch solve, outside jit.
+    """
+    lcap = cfg.max_landmarks
+    lcap2 = -(-lcap // n) * n
+    lm_per = lcap2 // n
+
+    f_lm = np.asarray(state.f_lm)
+    f_valid = np.asarray(state.f_valid)
+    shard = np.where(f_valid, f_lm // lm_per, -1)
+    if f_shard is None:
+        f_shard = _shard_capacity(cfg, state, n)
+    f2 = f_shard * n
+
+    dest = np.full(f_lm.shape[0], -1, np.int64)
+    for s in range(n):
+        idx = np.nonzero(shard == s)[0]
+        dest[idx] = s * f_shard + np.arange(idx.shape[0])
+    src = np.nonzero(dest >= 0)[0]
+    d = dest[src]
+
+    def scatter(arr, fill=0):
+        a = np.asarray(arr)
+        out = np.full((f2,) + a.shape[1:], fill, a.dtype)
+        out[d] = a[src]
+        return jnp.asarray(out)
+
+    def pad_lm(arr):
+        a = np.asarray(arr)
+        pad = [(0, lcap2 - lcap)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, pad))
+
+    f_lm_local = scatter(f_lm - np.maximum(shard, 0) * lm_per)
+    cfg2 = cfg._replace(max_factors=f2, max_landmarks=lcap2)
+    state2 = state._replace(
+        lm=pad_lm(state.lm),
+        lm_active=pad_lm(state.lm_active),
+        f_pose=scatter(state.f_pose),
+        f_lm=f_lm_local,
+        f_tcl=scatter(state.f_tcl),
+        f_sig=scatter(state.f_sig, fill=float(cfg.meas_sigma_t)),
+        f_valid=scatter(state.f_valid),
+        prior_lm_h=pad_lm(state.prior_lm_h),
+        prior_lm_mean=pad_lm(state.prior_lm_mean))
+    return cfg2, state2
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
@@ -84,54 +134,93 @@ def _sharded_optimize(cfg: GraphConfig, state: GraphState, mesh: Mesh,
                                       free_from)
 
 
-def _sharded_optimize_impl(cfg, state, mesh, axis, iters, free_from):
-    n = mesh.shape[axis]
-    # local cfg seen inside shard_map: factor capacity per device
-    local_cfg = cfg._replace(max_factors=cfg.max_factors // n)
-    meas_fn = _sharded_meas_terms(local_cfg, mesh, axis)
+def _lm_iterations(cfg: GraphConfig, lcfg: GraphConfig, axis: str,
+                   st: GraphState, free_from, iters: int):
+    """The per-device LM loop over one problem's shard view.
+
+    `st` is this device's slice: full pose capacity (`cfg.max_poses`),
+    local landmark/factor shards (`lcfg` capacities) — ba's kernels
+    are written per-slice, so they apply verbatim to the shard. `axis`
+    names the mesh axis the landmark shards live on; every psum here
+    is over that axis only, so the loop composes with an outer vmap
+    over a data-parallel fleet axis.
+    """
+
+    def cost_fn(s):
+        shardable, odom = ba._cost_parts(lcfg, s)
+        return jax.lax.psum(shardable, axis) + odom
 
     def step(carry, _):
         st, lam, cost = carry
         pose_free = ba.pose_free_mask(cfg, st, free_from)
-        meas = meas_fn(st, pose_free)
-        h_pp, w, h_ll, g_p, g_l, _ = ba._linearize(
-            cfg, st, free_from, meas=meas)
-        dp, dl = ba._schur_solve(cfg, h_pp, w, h_ll, g_p, g_l, lam)
-        trial = ba._retract(st, dp, dl, free_from)
-        new_cost = ba._cost_only(cfg, trial)
+        meas = ba._meas_terms(lcfg, st, pose_free)
+        # pose-side partial sums -> replicated (the ONLY large
+        # collective: O(T^2) + O(T), landmark-independent)
+        diag, g_p, mcost = jax.lax.psum(
+            (meas.diag, meas.g_p, meas.cost), axis)
+        h_pp, g_p6, _ = ba._pose_system(
+            cfg, st, pose_free,
+            meas._replace(diag=diag, g_p=g_p, cost=mcost))
+        # landmark side: exact on the local shard, no collective
+        h_ll, g_l3, _ = ba._landmark_system(
+            lcfg, st.lm, st.lm_active, st.prior_lm_h,
+            st.prior_lm_mean, meas.h_ll, meas.g_l)
+        w3 = meas.w4.reshape(cfg.max_poses * 6, -1, 3)
+        h_ll_inv, _, s_part, g_s_part = ba._schur_reduce(
+            h_ll, w3, g_l3, lam)
+        s_meas, g_s_meas = jax.lax.psum((s_part, g_s_part), axis)
+        dp = ba._schur_pose_solve(h_pp, g_p6, s_meas, g_s_meas, lam)
+        dl = ba._schur_back_substitute(h_ll_inv, w3, g_l3, dp)
+        trial = ba._retract(st, dp.reshape(-1, 6), dl, free_from)
+        new_cost = cost_fn(trial)
         accept = new_cost < cost
-        st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, st)
-        lam = jnp.where(accept, lam / cfg.lm_factor, lam * cfg.lm_factor)
+        st = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), trial, st)
+        lam = jnp.where(accept, lam / cfg.lm_factor,
+                        lam * cfg.lm_factor)
         lam = jnp.clip(lam, 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
-        return (st, lam, cost), cost
+        return (st, lam, cost), None
 
-    cost0 = ba._cost_only(cfg, state)
+    cost0 = cost_fn(st)
     lam0 = jnp.asarray(cfg.lm_init_lambda, cfg.dtype)
-    (state, _, cost), _ = jax.lax.scan(
-        step, (state, lam0, cost0), None, length=iters)
-    return state, cost
+    (st, _, cost), _ = jax.lax.scan(
+        step, (st, lam0, cost0), None, length=iters)
+    return st, cost
+
+
+def _sharded_optimize_impl(cfg, state, mesh, axis, iters, free_from):
+    n = mesh.shape[axis]
+    lcfg = cfg._replace(max_factors=cfg.max_factors // n,
+                        max_landmarks=cfg.max_landmarks // n)
+    specs = _state_specs(axis)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(specs, P()),
+                       out_specs=(specs, P()))
+    def run(st: GraphState, free_from):
+        return _lm_iterations(cfg, lcfg, axis, st, free_from, iters)
+
+    return run(state, free_from)
 
 
 def sharded_batch_optimize(cfg: GraphConfig, state: GraphState,
                            mesh: Mesh, iters: int = 50,
                            axis: str | None = None
                            ) -> tuple[GraphState, jnp.ndarray]:
-    """Full-batch LM with factor linearization sharded over `mesh`.
-
-    Drop-in distributed counterpart of `graph.batch_optimize`.
+    """Full-batch LM with landmark blocks AND factors sharded over
+    `mesh`. Drop-in distributed counterpart of `graph.batch_optimize`:
+    same inputs, same outputs (up to float reduction order).
     """
     axis = axis or mesh.axis_names[0]
     n = mesh.shape[axis]
-    cfg, state = _pad_factors(cfg, state, n)
-    # place the factor arrays sharded, everything else replicated
-    sharding = GraphState(
-        pose_q=P(), pose_t=P(), lm=P(), lm_active=P(), num_poses=P(),
-        f_pose=P(axis), f_lm=P(axis), f_tcl=P(axis), f_sig=P(axis),
-        f_valid=P(axis), f_count=P(),
-        prior_lm_h=P(), prior_lm_mean=P())
-    state = jax.device_put(
-        state, jax.tree.map(lambda s: NamedSharding(mesh, s), sharding,
-                            is_leaf=lambda x: isinstance(x, P)))
-    return _sharded_optimize(cfg, state, mesh, axis, iters,
-                             jnp.asarray(1, jnp.int32))
+    cfg2, state2 = partition_by_landmark(cfg, state, n)
+    state2 = jax.device_put(
+        state2, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), _state_specs(axis),
+            is_leaf=lambda x: isinstance(x, P)))
+    out, cost = _sharded_optimize(cfg2, state2, mesh, axis, iters,
+                                  jnp.asarray(1, jnp.int32))
+    lcap = cfg.max_landmarks
+    return state._replace(pose_q=out.pose_q, pose_t=out.pose_t,
+                          lm=out.lm[:lcap]), cost
