@@ -8,18 +8,65 @@ as-is; on a single-chip/dev box run it on virtual CPU devices first:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python -m aruco_slam_tpu.bench.scaling --platform cpu
 
-(virtual devices share host cores, so CPU efficiency numbers validate
-the mechanics and the collective layout, not real ICI speedup).
+Each row also carries the quantities that make a future multi-chip run
+interpretable in one command (virtual CPU devices share host cores, so
+the CPU *efficiency* column validates mechanics only):
+
+* ``factors_per_device`` — per-shard factor capacity after the
+  landmark repartition (work balance),
+* ``psum_bytes_per_iter`` — exact per-device collective volume of one
+  LM iteration (pose blocks + partial Schur + cost scalars; it is
+  O(T²), independent of landmarks/factors by design),
+* ``collective_s`` / ``collective_frac`` — measured time of JUST the
+  collectives: a shard_map program psum-ing the same-shaped buffers
+  the solver psums, iterated the same number of times on the same
+  mesh. compute_s = seconds − collective_s.
+
 Prints one JSON line per mesh size.
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
-import numpy as np
+
+def _collective_microbench(mesh, axis, tcap, iters, reps, dtype):
+    """Time `iters` rounds of the solver's exact psum set on `mesh`."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    t6 = tcap * 6
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P(),
+                       out_specs=P())
+    def run(x):
+        def body(i, carry):
+            diag, g_p, s, g_s, c = carry
+            # the three psum rounds of one LM iteration
+            diag, g_p, c1 = jax.lax.psum((diag, g_p, c), axis)
+            s, g_s = jax.lax.psum((s, g_s), axis)
+            c2 = jax.lax.psum(c1, axis)
+            return (diag + i, g_p, s, g_s, c2 * 1e-30)
+
+        diag = jnp.zeros((tcap, 6, 6), dtype) + x
+        g_p = jnp.zeros((tcap, 6), dtype)
+        s = jnp.zeros((t6, t6), dtype)
+        g_s = jnp.zeros(t6, dtype)
+        carry = jax.lax.fori_loop(
+            0, iters, body, (diag, g_p, s, g_s, x[0]))
+        return carry[0][:1, :1, 0] + carry[2][:1, 0]
+
+    x = jnp.ones((1,), dtype)
+    jax.block_until_ready(run(x))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        jax.block_until_ready(run(x + r))
+    return (time.perf_counter() - t0) / reps
 
 
 def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
@@ -29,6 +76,7 @@ def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
     from aruco_slam_tpu.bench import synthetic
     from aruco_slam_tpu.graph import GraphConfig, add_frame, init_graph
     from aruco_slam_tpu.parallel import make_mesh, sharded_batch_optimize
+    from aruco_slam_tpu.parallel.sharded_ba import _shard_capacity
 
     cfg = GraphConfig(max_poses=frames + 2, max_landmarks=markers,
                       max_factors=frames * (markers // 2),
@@ -42,6 +90,13 @@ def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
     for i in range(frames):
         state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
                           jnp.asarray(obs.mask[i]))
+
+    tcap = cfg.max_poses
+    t6 = tcap * 6
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    # per-iteration psum payload: (diag, g_p, cost) + (S, g_S) + cost
+    psum_bytes = itemsize * (tcap * 36 + tcap * 6 + 1
+                             + t6 * t6 + t6 + 1)
 
     results = []
     base_dt = None
@@ -59,10 +114,18 @@ def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
         dt = (time.perf_counter() - t0) / reps
         if base_dt is None:
             base_dt = dt
+        # LM runs 2 linearization+cost passes/iter worth of psums;
+        # the collective microbench models the psum set per iteration
+        coll = 0.0 if n == 1 else _collective_microbench(
+            mesh, mesh.axis_names[0], tcap, iters, reps, cfg.dtype)
         eff = base_dt / (dt * n)
         row = {"devices": n, "seconds": round(dt, 4),
                "speedup": round(base_dt / dt, 3),
-               "efficiency": round(eff, 3)}
+               "efficiency": round(eff, 3),
+               "factors_per_device": _shard_capacity(cfg, state, n),
+               "psum_bytes_per_iter": psum_bytes,
+               "collective_s": round(coll, 4),
+               "collective_frac": round(coll / dt, 3) if dt else 0.0}
         if jax.default_backend() == "cpu":
             # virtual devices time-share the same host cores, so the
             # "speedup" column is meaningless there by construction

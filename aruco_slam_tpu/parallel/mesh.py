@@ -13,9 +13,10 @@ def make_mesh(n_devices: int | None = None,
 
     Marker-SLAM's natural parallel axes are keyframes/factors ('kf')
     for a single big BA problem and sequences ('data') for fleets of
-    independent SLAM runs; both are 1-D. Multi-host slices extend this
-    by constructing the mesh from `jax.devices()` spanning hosts — the
-    collectives compile to ICI/DCN transfers automatically.
+    independent SLAM runs. `jax.devices()` is the GLOBAL list, so
+    after `parallel.dist.initialize()` this same constructor spans
+    hosts (multi-process CPU test: tests/test_dist.py). For the 2-D
+    ('data', 'kf') fabric use `parallel.dist.make_mesh2d`.
     """
     devs = jax.devices()
     if n_devices is not None:

@@ -183,7 +183,11 @@ def _lm_iterations(cfg: GraphConfig, lcfg: GraphConfig, axis: str,
         return (st, lam, cost), None
 
     cost0 = cost_fn(st)
-    lam0 = jnp.asarray(cfg.lm_init_lambda, cfg.dtype)
+    # 0*cost0 ties lam0's varying-axes type to the shard data: under a
+    # 2-D mesh the loop runs vmapped per 'data' shard with psums over
+    # 'kf' only, so the carry varies over 'data' — a bare constant
+    # would trip shard_map's varying-manual-axes check
+    lam0 = jnp.asarray(cfg.lm_init_lambda, cfg.dtype) + 0.0 * cost0
     (st, _, cost), _ = jax.lax.scan(
         step, (st, lam0, cost0), None, length=iters)
     return st, cost
@@ -211,6 +215,11 @@ def sharded_batch_optimize(cfg: GraphConfig, state: GraphState,
     """Full-batch LM with landmark blocks AND factors sharded over
     `mesh`. Drop-in distributed counterpart of `graph.batch_optimize`:
     same inputs, same outputs (up to float reduction order).
+
+    Multi-process safe: with a mesh spanning hosts (parallel/dist.py),
+    every process passes the same `state` and gets fully-replicated
+    (host-readable) results back — the landmark estimate is gathered
+    once at the end, O(L) bytes total.
     """
     axis = axis or mesh.axis_names[0]
     n = mesh.shape[axis]
@@ -222,5 +231,97 @@ def sharded_batch_optimize(cfg: GraphConfig, state: GraphState,
     out, cost = _sharded_optimize(cfg2, state2, mesh, axis, iters,
                                   jnp.asarray(1, jnp.int32))
     lcap = cfg.max_landmarks
+    # poses/cost leave shard_map replicated already; the landmark shard
+    # is gathered (and the pad sliced off) so hosts can read it
+    lm = jax.jit(lambda x: x[:lcap],
+                 out_shardings=NamedSharding(mesh, P()))(out.lm)
     return state._replace(pose_q=out.pose_q, pose_t=out.pose_t,
-                          lm=out.lm[:lcap]), cost
+                          lm=lm), cost
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh ('data', 'kf'): fleets of independent BA problems, each
+# landmark-sharded — the full fabric shape (parallel/dist.make_mesh2d).
+# ---------------------------------------------------------------------------
+
+def stack_graphs(states: list[GraphState]) -> GraphState:
+    """Stack same-capacity problems along a new leading fleet axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _fleet_specs(data_axis: str, kf_axis: str) -> GraphState:
+    """PartitionSpecs for a stacked fleet: leading problem axis over
+    `data_axis`, landmark/factor axes over `kf_axis`, poses
+    replicated within each problem's kf group."""
+    d, k = data_axis, kf_axis
+    return GraphState(
+        pose_q=P(d), pose_t=P(d), lm=P(d, k), lm_active=P(d, k),
+        num_poses=P(d), f_pose=P(d, k), f_lm=P(d, k), f_tcl=P(d, k),
+        f_sig=P(d, k), f_valid=P(d, k), f_count=P(d),
+        prior_lm_h=P(d, k), prior_lm_mean=P(d, k))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _fleet_optimize(cfg: GraphConfig, states: GraphState, mesh: Mesh,
+                    data_axis: str, kf_axis: str, iters: int):
+    with jax.default_matmul_precision("highest"):
+        n_kf = mesh.shape[kf_axis]
+        lcfg = cfg._replace(max_factors=cfg.max_factors // n_kf,
+                            max_landmarks=cfg.max_landmarks // n_kf)
+        specs = _fleet_specs(data_axis, kf_axis)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(specs,),
+                           out_specs=(specs, P(data_axis)))
+        def run(st: GraphState):
+            return jax.vmap(
+                lambda s: _lm_iterations(
+                    cfg, lcfg, kf_axis, s,
+                    jnp.asarray(1, jnp.int32), iters))(st)
+
+        return run(states)
+
+
+def sharded_fleet_optimize(cfg: GraphConfig, states: GraphState,
+                           mesh: Mesh, iters: int = 50,
+                           data_axis: str = "data",
+                           kf_axis: str = "kf"
+                           ) -> tuple[GraphState, jnp.ndarray]:
+    """Batch-LM a FLEET of independent BA problems on a 2-D mesh.
+
+    ``states``: GraphState stacked on a leading fleet axis (see
+    `stack_graphs`), one entry per sequence/survey; the fleet axis
+    shards over `data_axis` (zero cross-problem traffic) and each
+    problem's landmarks/factors shard over `kf_axis` (the psums of
+    `_lm_iterations` ride only that inner axis — lay it on ICI,
+    `parallel/dist.make_mesh2d`). Returns (fleet states with
+    replicated, host-readable pose/landmark estimates, per-problem
+    final costs).
+    """
+    n_data = mesh.shape[data_axis]
+    n_kf = mesh.shape[kf_axis]
+    g = int(states.num_poses.shape[0])
+    if g % n_data:
+        raise ValueError(f"fleet size {g} not divisible by "
+                         f"data axis {n_data}")
+    problems = [jax.tree.map(lambda x: x[i], states) for i in range(g)]
+    # one common per-shard factor capacity so the fleet stacks ragged-free
+    f_shard = max(_shard_capacity(cfg, p, n_kf) for p in problems)
+    parts = [partition_by_landmark(cfg, p, n_kf, f_shard=f_shard)
+             for p in problems]
+    cfg2 = parts[0][0]
+    stacked = stack_graphs([s for _, s in parts])
+    specs = _fleet_specs(data_axis, kf_axis)
+    stacked = jax.device_put(
+        stacked, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P)))
+    out, cost = _fleet_optimize(cfg2, stacked, mesh, data_axis,
+                                kf_axis, iters)
+    lcap = cfg.max_landmarks
+    rep = NamedSharding(mesh, P())
+    out_host = jax.jit(
+        lambda o, c: (o.pose_q, o.pose_t, o.lm[:, :lcap], c),
+        out_shardings=rep)(out, cost)
+    pose_q, pose_t, lm, cost = out_host
+    return states._replace(pose_q=pose_q, pose_t=pose_t, lm=lm), cost

@@ -1,0 +1,141 @@
+"""Multi-process distributed execution (the real multi-host path).
+
+Two layers of proof:
+
+* `test_fleet_2d_mesh` — the 2-D ('data', 'kf') mesh in one process on
+  the 8 virtual devices: a fleet of independent BA problems, each
+  landmark-sharded, must match per-problem single-device solves.
+* `test_multiprocess_sharded_ba` — TWO OS processes joined with
+  `jax.distributed.initialize` (Gloo collectives on CPU), a global
+  4-device mesh spanning them, and the landmark-sharded BA running
+  SPMD across the process boundary. This is the same launch shape as
+  one-process-per-host on a TPU pod; only the transport differs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aruco_slam_tpu.bench import synthetic
+from aruco_slam_tpu.graph import (
+    GraphConfig, add_frame, batch_optimize, init_graph)
+from aruco_slam_tpu.parallel import (
+    make_mesh2d, sharded_fleet_optimize, stack_graphs)
+
+
+def build_graph(frames=30, seed=0, dtype=jnp.float64, markers=8):
+    cfg = GraphConfig(max_poses=frames + 2, max_landmarks=16,
+                      max_factors=frames * 10, dtype=dtype,
+                      meas_sigma_t=0.01, odom_sigma_t=1.0,
+                      odom_sigma_rot=1.0)
+    scene = synthetic.make_wall_scene(num_markers=markers, seed=seed)
+    traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    obs = synthetic.observe_poses(scene, traj, cfg.max_landmarks,
+                                  noise_t=0.005, fov_limit=0.75,
+                                  seed=seed)
+    state = init_graph(cfg)
+    for i in range(frames):
+        state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
+                          jnp.asarray(obs.mask[i]))
+    return cfg, state
+
+
+def test_fleet_2d_mesh():
+    assert jax.device_count() >= 8
+    mesh = make_mesh2d(n_data=4, n_kf=2)
+    assert mesh.shape == {"data": 4, "kf": 2}
+    frames = 24
+    cfg = None
+    problems = []
+    for s in range(4):
+        cfg, st = build_graph(frames=frames, seed=s)
+        problems.append(st)
+    fleet = stack_graphs(problems)
+    out, costs = sharded_fleet_optimize(cfg, fleet, mesh, iters=12)
+    assert costs.shape == (4,)
+    for s in range(4):
+        single, cost_s = batch_optimize(cfg, problems[s], iters=12)
+        np.testing.assert_allclose(float(costs[s]), float(cost_s),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(out.pose_t[s])[:frames],
+            np.asarray(single.pose_t)[:frames], atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(out.lm[s]), np.asarray(single.lm), atol=1e-7)
+
+
+_WORKER = textwrap.dedent("""
+    import json, os, sys
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    sys.path.insert(0, {repo!r})
+    # platform must be pinned through the config API before the
+    # backend initializes (the environment's site hook pins a
+    # tunneled-TPU platform via env var)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from aruco_slam_tpu.parallel import dist
+    dist.initialize(coordinator_address="127.0.0.1:" + port,
+                    num_processes=nproc, process_id=pid,
+                    local_devices=2)
+    import numpy as np, jax.numpy as jnp
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc, jax.devices()
+
+    sys.path.insert(0, {testdir!r})
+    from test_dist import build_graph
+    from aruco_slam_tpu.parallel import make_mesh, sharded_batch_optimize
+    cfg, state = build_graph(frames=24, seed=3)
+    mesh = make_mesh()          # global: 4 devices across 2 processes
+    out, cost = sharded_batch_optimize(cfg, state, mesh, iters=10)
+    res = {{"cost": float(cost),
+            "pose_t": np.asarray(out.pose_t).tolist(),
+            "lm": np.asarray(out.lm).tolist()}}
+    if pid == 0:
+        print("RESULT" + json.dumps(res))
+""")
+
+
+@pytest.mark.slow
+def test_multiprocess_sharded_ba(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    testdir = os.path.join(repo, "tests")
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER.format(repo=repo, testdir=testdir))
+    port = "29765"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""  # dist.initialize sets the platform
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers hung")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{out}\n{err}"
+    line = next(ln for ln in outs[0][1].splitlines()
+                if ln.startswith("RESULT"))
+    res = json.loads(line[len("RESULT"):])
+
+    # reference: same problem solved in THIS process on one device
+    cfg, state = build_graph(frames=24, seed=3)
+    single, cost_s = batch_optimize(cfg, state, iters=10)
+    np.testing.assert_allclose(res["cost"], float(cost_s), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res["pose_t"]),
+                               np.asarray(single.pose_t), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res["lm"]),
+                               np.asarray(single.lm), atol=1e-7)
