@@ -39,6 +39,13 @@ def main(argv=None) -> None:
     p.add_argument("--calib", default=None,
                    help="directory with camera_matrix.npy + "
                         "dist_coeffs.npy (video input)")
+    p.add_argument("--viz-2d", action="store_true",
+                   help="pass-2 replay through the 2D overlay with the "
+                        "smoothed poses (reference "
+                        "main/run_offline.py:124-142)")
+    p.add_argument("--viz-3d", action="store_true")
+    p.add_argument("--viz-dir", default="outputs/images")
+    p.add_argument("--export-video", action="store_true")
     dflt = SlamAppConfig(input="")
     p.add_argument("--meas-sigma-t", type=float, default=dflt.meas_sigma_t)
     p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
@@ -54,7 +61,10 @@ def main(argv=None) -> None:
                         map_file=args.map_file, batch_iters=args.iters,
                         meas_sigma_t=args.meas_sigma_t,
                         odom_sigma_t=args.odom_sigma_t,
-                        odom_sigma_rot=args.odom_sigma_rot)
+                        odom_sigma_rot=args.odom_sigma_rot,
+                        viz_2d=args.viz_2d, viz_3d=args.viz_3d,
+                        viz_dir=args.viz_dir,
+                        export_video=args.export_video)
     from pathlib import Path
     if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
         src = None
@@ -92,11 +102,16 @@ def main(argv=None) -> None:
           f"(final cost {float(cost):.3f})")
 
     # pass 2: emit smoothed estimates per iteration
+    cam_traj = np.concatenate([np.asarray(state.pose_t),
+                               np.asarray(state.pose_q)], axis=1)[:t]
     with TrajectoryWriter(cfg.trajectory_file) as w:
         for i in range(t):
-            pose = np.concatenate([np.asarray(state.pose_t[i]),
-                                   np.asarray(state.pose_q[i])])
-            w.write(float(times[i]), pose)
+            w.write(float(times[i]), cam_traj[i])
+    if cfg.viz_2d or cfg.viz_3d:
+        from aruco_slam_tpu.apps import sinks
+        viewers = sinks.build_viewers(cfg, cam, src)
+        sinks.replay(viewers, times, cam_traj, state.lm,
+                     state.lm_active, t_cl, q_cl, mask)
 
     active = np.asarray(state.lm_active)
     ids = np.where(active)[0]

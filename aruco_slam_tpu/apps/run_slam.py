@@ -140,7 +140,19 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
              with_rotations: bool, viewers=(), load_map_file=None,
              ambiguity=None):
-    fcfg = MekfConfig(capacity=t_cl.shape[1],
+    # auto-size the update compaction width to this sequence: frames
+    # observing more than max_obs slots would silently drop the extras
+    # (filters/mekf.py measurement compaction)
+    max_vis = int(np.asarray(mask).sum(axis=1).max())
+    if cfg.max_obs:
+        max_obs = cfg.max_obs
+        if max_vis > max_obs:
+            print(f"WARNING: --max-obs {max_obs} < densest frame "
+                  f"({max_vis} markers): extra observations will be "
+                  "dropped")
+    else:
+        max_obs = min(t_cl.shape[1], max(16, -(-max_vis // 8) * 8))
+    fcfg = MekfConfig(capacity=t_cl.shape[1], max_obs=max_obs,
                       with_rotations=with_rotations,
                       r_uncertainty=cfg.mekf_r,
                       q_uncertainty_cam=cfg.mekf_q_cam,
@@ -191,6 +203,10 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
     budget = cfg.pose_budget
     if budget and budget < t + 2:
         max_poses = max(budget, 2 * cfg.window + 4)
+        if max_poses > budget:
+            print(f"pose budget raised {budget} -> {max_poses}: the "
+                  f"{cfg.window}-pose window needs headroom to "
+                  "marginalize safely")
         max_factors = int(mask.sum(1).max()) * max_poses + 8
     else:
         max_poses, max_factors = t + 2, int(mask.sum()) + 8
@@ -205,20 +221,36 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                        marker_size=cfg.marker_size,
                        huber_delta=cfg.huber_delta)
     state = init_graph(gcfg)
-    cam_traj = np.zeros((t, 7))
+    t_cl_d = jnp.asarray(t_cl)
+    mask_d = jnp.asarray(mask)
+    # pose count is deterministic (add_frame +1 until cap, marginalize
+    # -drop), so it's tracked HOST-side: the frame loop dispatches
+    # without ever syncing on the device (the old int(state.num_poses)
+    # read cost one round trip per frame)
+    num, drop = 1, max_poses // 2
+    traj_parts = []
+    t0 = time.perf_counter()
     for i in range(t):
-        state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
-                          jnp.asarray(mask[i]))
+        state = add_frame(gcfg, state, t_cl_d[i], mask_d[i])
+        num = min(num + 1, max_poses)
         state, _ = optimize_window(gcfg, state, window=cfg.window,
                                    iters=cfg.window_iters)
-        cur = int(state.num_poses) - 2  # shifts under marginalization
-        cam_traj[i, :3] = np.asarray(state.pose_t[cur])
-        cam_traj[i, 3:7] = np.asarray(state.pose_q[cur])
-        if budget and int(state.num_poses) >= max_poses - 1:
-            state = marginalize_poses(gcfg, state, max_poses // 2)
+        cur = num - 2
+        traj_parts.append((state.pose_t[cur], state.pose_q[cur]))
+        if budget and num >= max_poses - 1:
+            state = marginalize_poses(gcfg, state, drop)
+            num = max(num - drop, 1)
         if viewers:
-            _feed_viewers(viewers, cam_traj[i], state.lm,
+            pose_i = np.concatenate([np.asarray(traj_parts[-1][0]),
+                                     np.asarray(traj_parts[-1][1])])
+            _feed_viewers(viewers, pose_i, state.lm,
                           state.lm_active, t_cl[i], q_cl[i], mask[i])
+    cam_traj = np.concatenate(
+        [np.asarray(jnp.stack([p for p, _ in traj_parts])),
+         np.asarray(jnp.stack([q for _, q in traj_parts]))], axis=1)
+    dt = time.perf_counter() - t0
+    print(f"factorgraph online: {t} frames in {dt:.3f}s "
+          f"({t / dt:.1f} fps)")
     cov = np.asarray(landmark_covariances(gcfg, state))
     unc = np.diagonal(cov, axis1=-2, axis2=-1)
     return cam_traj, np.asarray(state.lm_active), \
@@ -247,6 +279,10 @@ def main(argv=None) -> None:
     p.add_argument("--viz-2d", action="store_true")
     p.add_argument("--viz-3d", action="store_true")
     p.add_argument("--viz-dir", default="outputs/images")
+    p.add_argument("--export-video", action="store_true",
+                   help="also write {viz_dir}/2d.mp4 / 3d.mp4 (the "
+                        "reference's VideoWriter exports, reference "
+                        "viewers/viewer_2d.py:46-56)")
     p.add_argument("--window", type=int, default=8)
     dflt = SlamAppConfig(input="")
     p.add_argument("--pose-budget", type=int, default=dflt.pose_budget,
@@ -289,6 +325,9 @@ def main(argv=None) -> None:
     p.add_argument("--gate-distance", type=float,
                    default=dflt.gate_distance,
                    help="MEKF innovation gate (m); 0 = off")
+    p.add_argument("--max-obs", type=int, default=dflt.max_obs,
+                   help="MEKF update compaction width (markers per "
+                        "frame); 0 = auto-size from the sequence")
     p.add_argument("--huber-delta", type=float, default=dflt.huber_delta,
                    help="robust BA loss delta (whitened); 0 = plain LS")
     args = p.parse_args(argv)
@@ -300,6 +339,7 @@ def main(argv=None) -> None:
         input=args.input, filter=args.filter,
         trajectory_file=args.trajectory, map_file=args.map_file,
         viz_2d=args.viz_2d, viz_3d=args.viz_3d, viz_dir=args.viz_dir,
+        export_video=args.export_video,
         window=args.window, pose_budget=args.pose_budget,
         meas_sigma_t=args.meas_sigma_t,
         odom_sigma_t=args.odom_sigma_t,
@@ -312,7 +352,8 @@ def main(argv=None) -> None:
         mekf_vel_decay=args.vel_decay,
         mekf_precision=args.precision,
         gate_distance=args.gate_distance,
-        huber_delta=args.huber_delta)
+        huber_delta=args.huber_delta,
+        max_obs=args.max_obs)
     from pathlib import Path
     if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
         src = None
@@ -322,38 +363,8 @@ def main(argv=None) -> None:
         src = NpzSource(cfg.input)
         times, t_cl, q_cl, mask, cam, amb = load_observations(src, cfg)
 
-    viewers = []
-    if cfg.viz_3d:
-        from aruco_slam_tpu.viz import Viewer3D
-
-        v3 = Viewer3D(export_dir=f"{cfg.viz_dir}/3d")
-
-        class V3:  # adapter: world-frame detections like the reference
-            def view_frame(self, cam_pose, pts, det):
-                from aruco_slam_tpu.core import quaternion as q_np
-                r = np.asarray(q_np.to_matrix(jnp.asarray(cam_pose[3:7])))
-                dw = np.asarray(
-                    [r @ np.asarray(t) + cam_pose[:3] for t, _ in det])
-                v3.view(cam_pose, pts, dw)
-
-            def close(self):
-                v3.close()
-
-        viewers.append(V3())
-    if cfg.viz_2d:
-        from aruco_slam_tpu.viz import Viewer2D
-
-        v2 = Viewer2D(cam, export_dir=f"{cfg.viz_dir}/2d")
-        blank = np.zeros((1080, 1920), np.uint8)
-
-        class V2:
-            def view_frame(self, cam_pose, pts, det):
-                v2.view(blank, cam_pose, pts, det)
-
-            def close(self):
-                v2.close()
-
-        viewers.append(V2())
+    from aruco_slam_tpu.apps import sinks
+    viewers = sinks.build_viewers(cfg, cam, src)
 
     if cfg.filter in ("mekf", "mekf_rotations"):
         cam_traj, active, lm, unc = run_mekf(

@@ -1,0 +1,122 @@
+"""Driver-side visualization sinks: real frames through the viewers.
+
+The reference draws detections on the actual video frame (reference
+viewers/viewer_2d.py:64-111) and replays smoothed poses through both
+viewers in the offline driver (reference main/run_offline.py:124-142).
+This module gives both drivers one wiring: a *frame provider* that
+re-reads the original imagery (npz `images` array, or a second
+sequential decode of the video file — frames are not kept resident),
+and viewer adapters with a uniform
+``view_frame(cam_pose, points, detections)`` surface.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from aruco_slam_tpu.config import SlamAppConfig
+from aruco_slam_tpu.core import quaternion as quat_np
+
+VIDEO_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv"}
+
+
+def make_frame_provider(cfg: SlamAppConfig, src=None):
+    """Callable i -> grayscale frame (H, W) uint8, or None when the
+    input carries no imagery (pose-/corner-level npz)."""
+    if src is not None and src.has("images"):
+        imgs = src["images"]
+        return lambda i: imgs[i]
+    if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
+        from aruco_slam_tpu.io.sources import VideoSource
+
+        state = {"it": None, "next": 0}
+
+        def provider(i):
+            # sequential re-decode; viz replay is in-order by design
+            if state["it"] is None or i < state["next"]:
+                state["it"] = VideoSource(cfg.input).frames()
+                state["next"] = 0
+            frame = None
+            while state["next"] <= i:
+                _, frame = next(state["it"])
+                state["next"] += 1
+            return frame
+
+        return provider
+    return None
+
+
+class Viewer2DSink:
+    """Feeds the 2D overlay the REAL frame for step i (falls back to a
+    blank canvas only when the input has no imagery at all)."""
+
+    def __init__(self, cam, cfg: SlamAppConfig, frame_provider=None,
+                 frame_shape=(1080, 1920)) -> None:
+        from aruco_slam_tpu.viz import Viewer2D
+
+        video = f"{cfg.viz_dir}/2d.mp4" if cfg.export_video else None
+        self.v = Viewer2D(cam, export_dir=f"{cfg.viz_dir}/2d",
+                          export_video=video)
+        self.provider = frame_provider
+        self.blank = np.zeros(frame_shape, np.uint8)
+        self.idx = 0
+
+    def view_frame(self, cam_pose, pts, det) -> None:
+        frame = self.provider(self.idx) if self.provider else self.blank
+        self.v.view(frame, cam_pose, pts, det)
+        self.idx += 1
+
+    def close(self) -> None:
+        self.v.close()
+
+
+class Viewer3DSink:
+    """3D map sink; transforms camera-frame detections to the world
+    frame like the reference (reference viewers/viewer_3d.py:167-192)."""
+
+    def __init__(self, cfg: SlamAppConfig, stride: int = 1) -> None:
+        from aruco_slam_tpu.viz import Viewer3D
+
+        video = f"{cfg.viz_dir}/3d.mp4" if cfg.export_video else None
+        self.v = Viewer3D(export_dir=f"{cfg.viz_dir}/3d",
+                          export_video=video, stride=stride)
+
+    def view_frame(self, cam_pose, pts, det) -> None:
+        r = np.asarray(quat_np.to_matrix(jnp.asarray(cam_pose[3:7])))
+        dw = np.asarray(
+            [r @ np.asarray(t) + cam_pose[:3] for t, _ in det]
+        ) if det else np.zeros((0, 3))
+        self.v.view(cam_pose, pts, dw)
+
+    def close(self) -> None:
+        self.v.close()
+
+
+def build_viewers(cfg: SlamAppConfig, cam, src=None,
+                  frame_shape=(1080, 1920)) -> list:
+    viewers = []
+    if cfg.viz_3d:
+        viewers.append(Viewer3DSink(cfg))
+    if cfg.viz_2d:
+        viewers.append(Viewer2DSink(cam, cfg,
+                                    make_frame_provider(cfg, src),
+                                    frame_shape))
+    return viewers
+
+
+def replay(viewers, times, cam_traj, lm, lm_active, t_cl, q_cl, mask
+           ) -> None:
+    """Offline pass-2: push every smoothed pose + the final map through
+    the sinks (reference main/run_offline.py:104-142)."""
+    act = np.asarray(lm_active)
+    pts = np.asarray(lm)[:, :3][act]
+    for i in range(len(times)):
+        det = [(t_cl[i][j], q_cl[i][j])
+               for j in np.where(np.asarray(mask[i]))[0]]
+        for v in viewers:
+            v.view_frame(np.asarray(cam_traj[i]), pts, det)
+    for v in viewers:
+        v.close()

@@ -44,15 +44,22 @@ def make_pipeline(cam, marker_size: float, fcfg, chunk: int = 16,
     The PnP solves are frame-independent so they run outside the
     sequential scan and fill the chip; `lax.map` chunks them over time
     so the solver intermediates stay bounded (vmapping a whole long
-    sequence wants tens of GB at serving batch sizes). The chunk size
-    is clipped to the largest divisor of T so any frame count works.
+    sequence wants tens of GB at serving batch sizes). Frame counts
+    that don't divide by `chunk` are zero-padded up to the next
+    multiple (padded solves are discarded) — never serialized, so a
+    prime T costs at most one extra chunk, not a 16x slowdown.
     """
 
     def pipeline(state, corners_seq, mask_seq):
         t = corners_seq.shape[0]
         ch = min(chunk, t)
-        while t % ch:
-            ch -= 1
+        pad = (-t) % ch
+        if pad:
+            corners_seq = jnp.concatenate(
+                [corners_seq,
+                 jnp.zeros((pad,) + corners_seq.shape[1:],
+                           corners_seq.dtype)])
+        tp = t + pad
 
         def solve_chunk(c):
             res = pnp.solve_square_pnp(cam, c, marker_size)
@@ -60,8 +67,8 @@ def make_pipeline(cam, marker_size: float, fcfg, chunk: int = 16,
 
         t_cl, q_cl, err = jax.lax.map(
             solve_chunk,
-            corners_seq.reshape(t // ch, ch, *corners_seq.shape[1:]))
-        merge = lambda a: a.reshape(t, *a.shape[2:])
+            corners_seq.reshape(tp // ch, ch, *corners_seq.shape[1:]))
+        merge = lambda a: a.reshape(tp, *a.shape[2:])[:t]
         obs = FrameObservations(
             t_cl=merge(t_cl), q_cl=merge(q_cl),
             mask=mask_seq & (merge(err) < reproj_gate))

@@ -95,5 +95,9 @@ class SlamAppConfig:
     # MEKF innovation gate (m): drop observations of known landmarks
     # whose position residual exceeds this; 0 = off
     gate_distance: float = 1.0
+    # update-compaction width (filters/mekf.py max_obs): the max
+    # markers one frame may observe before extras are dropped.
+    # 0 = auto-size from the sequence's densest frame (never drops)
+    max_obs: int = 0
     # Huber delta (whitened units) for robust BA factors; 0 = plain LS
     huber_delta: float = 2.0

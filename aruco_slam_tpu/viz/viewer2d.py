@@ -88,12 +88,8 @@ class Viewer2D:
 
     def close(self) -> None:
         if self._frames:
-            import imageio.v3 as iio
-            Path(self.export_video).parent.mkdir(parents=True,
-                                                 exist_ok=True)
-            iio.imwrite(self.export_video,
-                        np.stack(self._frames), fps=20, plugin="pyav",
-                        codec="libx264")
+            from aruco_slam_tpu.viz.video import write_video
+            write_video(self.export_video, self._frames)
             self._frames = []
 
 

@@ -108,6 +108,63 @@ def test_run_offline_end_to_end(seq_file, tmp_path):
     assert np.isfinite(poses).all()
 
 
+@pytest.fixture(scope="module")
+def image_seq_file(tmp_path_factory):
+    """Small image-bearing bundle: real rendered frames for the viz
+    sinks."""
+    from aruco_slam_tpu.apps import make_synthetic
+    from aruco_slam_tpu.io import sources
+    path = tmp_path_factory.mktemp("imgseq") / "seq.npz"
+    k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
+                  [0.0, 0.0, 1.0]])
+    bundle = make_synthetic.build(
+        frames=6, markers=6, capacity=16, noise_px=0.2,
+        camera_matrix=k, dist_coeffs=np.zeros(5), with_images=True,
+        image_size=(720, 405))
+    sources.save_npz(path, **bundle)
+    return path
+
+
+def test_run_slam_viz_real_frames(image_seq_file, tmp_path):
+    """--viz-2d must overlay the ACTUAL rendered frame (the reference
+    draws on the real video frame, reference viewers/viewer_2d.py:64),
+    not a blank canvas; --viz-3d and --export-video must emit their
+    artifacts."""
+    import imageio.v3 as iio
+    from aruco_slam_tpu.apps import run_slam
+    viz = tmp_path / "viz"
+    run_slam.main(["--input", str(image_seq_file),
+                   "--trajectory", str(tmp_path / "t.txt"),
+                   "--map", str(tmp_path / "m.txt"),
+                   "--viz-2d", "--viz-3d", "--export-video",
+                   "--viz-dir", str(viz)])
+    pngs2d = sorted((viz / "2d").glob("frame_*.png"))
+    pngs3d = sorted((viz / "3d").glob("map_*.png"))
+    assert len(pngs2d) == 6 and len(pngs3d) == 6
+    img = iio.imread(pngs2d[2])
+    # the rendered scene background is mid-gray (~178): a blank-canvas
+    # regression would leave most pixels at 0
+    assert np.mean(img) > 60, "2D overlay lost the real frame"
+    assert (viz / "2d.mp4").stat().st_size > 0
+    assert (viz / "3d.mp4").stat().st_size > 0
+
+
+def test_run_offline_viz_replay(image_seq_file, tmp_path):
+    """Offline pass-2 replay constructs viewers and feeds smoothed
+    poses (reference main/run_offline.py:124-142)."""
+    import imageio.v3 as iio
+    from aruco_slam_tpu.apps import run_offline
+    viz = tmp_path / "viz"
+    run_offline.main(["--input", str(image_seq_file),
+                      "--trajectory", str(tmp_path / "t.txt"),
+                      "--map", str(tmp_path / "m.txt"),
+                      "--iters", "5", "--viz-2d",
+                      "--viz-dir", str(viz)])
+    pngs = sorted((viz / "2d").glob("frame_*.png"))
+    assert len(pngs) == 6
+    assert np.mean(iio.imread(pngs[0])) > 60
+
+
 def test_run_slam_video_input(tmp_path):
     """Video-file input: decode (host) -> image-domain detection ->
     PnP -> MEKF — the reference's primary input path (reference
