@@ -29,9 +29,13 @@ def _undistort_map(cam, w, h):
 
 
 def render_frame(scene: Scene, cam_q, cam_t, cam, norm_map,
-                 d: dict_mod.Dictionary, marker_ids=None) -> np.ndarray:
+                 d: dict_mod.Dictionary, marker_ids=None,
+                 background: np.ndarray | None = None) -> np.ndarray:
+    """``background``: optional (H, W) uint8 canvas (e.g.
+    bench/degrade.clutter_background); markers render on top."""
     h, w = norm_map.shape[:2]
-    img = np.full((h, w), BACKGROUND, np.uint8)
+    img = np.full((h, w), BACKGROUND, np.uint8) \
+        if background is None else background.copy()
     m = len(scene.marker_pos)
     ids = np.arange(m) if marker_ids is None else marker_ids
     cq_inv = _quat_conj(np.asarray(cam_q))
@@ -96,14 +100,16 @@ def render_frame(scene: Scene, cam_q, cam_t, cam, norm_map,
 
 def render_sequence(scene: Scene, traj: Trajectory, cam,
                     dict_name: str = dict_mod.DICT_5X5_50,
-                    image_size=(1920, 1080)) -> np.ndarray:
+                    image_size=(1920, 1080),
+                    background: np.ndarray | None = None) -> np.ndarray:
     w, h = image_size
     d = dict_mod.load(dict_name)
     norm_map = _undistort_map(cam, w, h)
     frames = np.empty((len(traj.times), h, w), np.uint8)
     for i in range(len(traj.times)):
         frames[i] = render_frame(scene, traj.cam_q[i], traj.cam_t[i],
-                                 cam, norm_map, d)
+                                 cam, norm_map, d,
+                                 background=background)
     return frames
 
 

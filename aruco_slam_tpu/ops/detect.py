@@ -49,6 +49,16 @@ class DetectorConfig(NamedTuple):
     max_candidates: int = 32      # K quad candidates per frame
     downscale: int = 4            # component-labeling resolution
     thresh_win: int = 15          # box window (full res), odd
+    # candidate sweep: (threshold window FULL-Res px, downscale) passes,
+    # each thresholded+labeled+harvested independently and the
+    # candidate lists merged — the dense analog of OpenCV's
+    # adaptiveThreshWinSize 3..30 sweep (reference
+    # filters/base_filter.py:84-88). Small windows adapt under lighting
+    # gradients/vignetting; large windows keep blurred low-contrast
+    # borders; the fine-downscale pass separates markers from adjacent
+    # dark clutter that the coarse min-pool would bridge (a ds-px gap
+    # is one low-res pixel). () = single (thresh_win, downscale) pass.
+    passes: tuple[tuple[int, int], ...] = ((15, 4), (45, 4), (15, 2))
     thresh_c: float = 7.0         # threshold offset (uint8 counts)
     min_area: int = 16            # component pixels at low res
     max_area_frac: float = 0.05
@@ -369,66 +379,103 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
     cells = nbits + 2
     img = image.astype(jnp.float32)
     h, w = img.shape
-    ds = cfg.downscale
     k = cfg.max_candidates
 
-    # 1+2. adaptive threshold fused with the downscale: the full-res
+    # 1+2. adaptive threshold fused with each pass's downscale: the
     # binary is only ever consumed at /ds resolution (corner refinement
     # and decoding sample the grayscale directly), so threshold there —
     # "any dark pixel in the block" becomes min-pool(img) against a box
     # mean of avg-pool(img). This removes the 2-MP integral image that
     # dominated the profile.
-    hl, wl = h // ds, w // ds
-    crop = img[: hl * ds, : wl * ds]
-    # reduce_window pools keep the natural (8, 128) tiling; the
-    # reshape-to-(hl, ds, wl, ds) form forces a relayout of the 2-MP
-    # image before every reduction
-    small_min = jax.lax.reduce_window(
-        crop, jnp.inf, jax.lax.min, (ds, ds), (ds, ds), "VALID")
-    small_avg = jax.lax.reduce_window(
-        crop, 0.0, jax.lax.add, (ds, ds), (ds, ds), "VALID") \
-        * (1.0 / (ds * ds))
-    win_l = max(3, cfg.thresh_win // ds) | 1  # odd
-    mean = _box_mean(small_avg, win_l)
-    fg = small_min < (mean - cfg.thresh_c)
+    #
+    # Foreground gate per pass: "contains a dark pixel" (min-pool) AND
+    # "the block is dark on average" (avg-pool at half the offset). The
+    # min alone floods under sensor noise — the min of a ds² block of
+    # N(0, sigma) samples biases ~1.5 sigma below the mean, so sigma>5
+    # turned whole frames foreground; the avg term is noise-reduced by
+    # ds (sigma_eff = sigma/ds) and keeps the binary clean while thin
+    # 1-lowres-px borders still pass.
+    #
+    # Each pass is labeled and harvested SEPARATELY (like OpenCV, which
+    # extracts candidates per adaptiveThreshWinSize and merges the
+    # candidate lists): OR-ing the binaries instead merges components a
+    # small window keeps apart — on cluttered scenes a marker adjacent
+    # to a dark shape survives the small window / fine downscale but
+    # fuses into a non-quad blob in the union.
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = on_tpu if cfg.pallas is None else cfg.pallas
     pallas_mode = ("off" if not use_pallas
                    else ("tpu" if on_tpu else "interpret"))
-    labels = _connected_components(fg, cfg.prop_iters,
-                                   scan_rounds=cfg.scan_rounds,
-                                   pallas_mode=pallas_mode)
+    passes = cfg.passes or ((cfg.thresh_win, cfg.downscale),)
+    base_ds = max(ds for _, ds in passes)
+    pools: dict[int, tuple] = {}
+    per_pass = []
+    for wf, ds in passes:
+        if ds not in pools:
+            hl, wl = h // ds, w // ds
+            crop = img[: hl * ds, : wl * ds]
+            # reduce_window pools keep the natural (8, 128) tiling; the
+            # reshape-to-(hl, ds, wl, ds) form forces a relayout of the
+            # 2-MP image before every reduction
+            small_min = jax.lax.reduce_window(
+                crop, jnp.inf, jax.lax.min, (ds, ds), (ds, ds),
+                "VALID")
+            small_avg = jax.lax.reduce_window(
+                crop, 0.0, jax.lax.add, (ds, ds), (ds, ds), "VALID") \
+                * (1.0 / (ds * ds))
+            pools[ds] = (hl, wl, small_min, small_avg)
+        hl, wl, small_min, small_avg = pools[ds]
+        big = hl * wl
+        # area gates are defined at the coarsest pass's resolution and
+        # scaled to this pass's pixel size
+        scale2 = (base_ds // ds) ** 2
+        min_area = cfg.min_area * scale2
+        max_area = int(cfg.max_area_frac * (h // base_ds)
+                       * (w // base_ds)) * scale2
+        win_l = max(3, wf // ds) | 1  # odd, at labeling resolution
+        mean = _box_mean(small_avg, win_l)
+        fg = (small_min < (mean - cfg.thresh_c)) \
+            & (small_avg < (mean - 0.5 * cfg.thresh_c))
+        labels = _connected_components(fg, cfg.prop_iters,
+                                       scan_rounds=cfg.scan_rounds,
+                                       pallas_mode=pallas_mode)
 
-    # 3. component areas -> top-K candidates. Sort-based histogram:
-    # sort the labels, find run starts, get each run's length from the
-    # distance to the next start (reverse cummin — no gathers). The
-    # obvious scatter-add histogram (zeros.at[labels].add(1)) costs
-    # ~1.2 ms/frame at 1080p on TPU — 4x the price of the sort.
-    big = hl * wl
-    n = big
-    flat = labels.reshape(-1)
-    s_lab = jnp.sort(flat)                      # background (=big) last
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start = jnp.concatenate(
-        [jnp.ones(1, bool), s_lab[1:] != s_lab[:-1]])
-    start_pos = jnp.where(start, idx, n)
-    after = jnp.concatenate(
-        [start_pos[1:], jnp.asarray([n], jnp.int32)])
-    next_start = jax.lax.cummin(after, reverse=True)
-    cnt = jnp.where(start, next_start - idx, 0)
-    max_area = int(cfg.max_area_frac * big)
-    score = jnp.where(
-        (s_lab < big) & (cnt >= cfg.min_area) & (cnt <= max_area),
-        cnt, 0)
-    top_score, pos = jax.lax.top_k(score, k)
-    roots = s_lab[pos]                          # K-element gather only
-    cand_ok = top_score > 0
+        # 3. component areas -> top-K candidates. Sort-based
+        # histogram: sort the labels, find run starts, get each run's
+        # length from the distance to the next start (reverse cummin —
+        # no gathers). The obvious scatter-add histogram
+        # (zeros.at[labels].add(1)) costs ~1.2 ms/frame at 1080p on
+        # TPU — 4x the price of the sort.
+        flat = labels.reshape(-1)
+        s_lab = jnp.sort(flat)                  # background (=big) last
+        idx = jnp.arange(big, dtype=jnp.int32)
+        start = jnp.concatenate(
+            [jnp.ones(1, bool), s_lab[1:] != s_lab[:-1]])
+        start_pos = jnp.where(start, idx, big)
+        after = jnp.concatenate(
+            [start_pos[1:], jnp.asarray([big], jnp.int32)])
+        next_start = jax.lax.cummin(after, reverse=True)
+        cnt = jnp.where(start, next_start - idx, 0)
+        score = jnp.where(
+            (s_lab < big) & (cnt >= min_area) & (cnt <= max_area),
+            cnt, 0)
+        top_score, pos = jax.lax.top_k(score, k)
+        roots = s_lab[pos]                      # K-element gather only
+        cand_ok = top_score > 0
 
-    # 4. masks + quad corners (low res), lifted to full res
-    masks = labels[None, :, :] == roots[:, None, None]
-    masks = masks & cand_ok[:, None, None]
-    quads = _quad_corners(masks)                   # (K, 4, 2)
-    quads_full = quads * ds + (ds - 1) / 2.0
+        # 4. masks + quad corners (low res), lifted to full res;
+        # scores normalized to the coarsest resolution so dedup
+        # comparisons across passes are fair
+        masks = labels[None, :, :] == roots[:, None, None]
+        masks = masks & cand_ok[:, None, None]
+        quads = _quad_corners(masks)               # (K, 4, 2)
+        per_pass.append((quads * ds + (ds - 1) / 2.0,
+                         top_score // scale2, cand_ok))
+
+    quads_full = jnp.concatenate([p[0] for p in per_pass])  # (P·K,4,2)
+    top_score = jnp.concatenate([p[1] for p in per_pass])
+    cand_ok = jnp.concatenate([p[2] for p in per_pass])
+    k = k * len(passes)  # candidate count downstream of this point
 
     # 5. subpixel refinement on the full-res image: a coarse pass pulls
     # the low-res (±downscale px) estimate into the basin, then a tight

@@ -155,6 +155,94 @@ def test_full_image_pipeline_ba(rendered):
     assert err < 0.2, f"ATE {err}"
 
 
+DEGRADATIONS = {
+    "blur": dict(blur_sigma=1.5),
+    "motion": dict(motion_len=7, motion_angle=30.0),
+    "noise": dict(noise_sigma=8.0),
+    "lighting": dict(vignette_strength=0.55, gradient_strength=0.35),
+    "combined": dict(blur_sigma=1.0, noise_sigma=6.0,
+                     vignette_strength=0.4),
+}
+
+
+class TestDegraded:
+    """Detection must survive realistic imagery — blur, noise,
+    vignetting, lighting gradients, clutter — not just clean renders.
+    Oracle: cv2.aruco on the SAME degraded frames (its adaptive window
+    sweep 3-30, reference filters/base_filter.py:84-88, is the
+    robustness bar)."""
+
+    @pytest.fixture(scope="class")
+    def cvdet(self):
+        return cv2.aruco.ArucoDetector(
+            cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_5X5_50),
+            cv2.aruco.DetectorParameters())
+
+    @pytest.mark.parametrize("name", sorted(DEGRADATIONS))
+    def test_recall_tracks_cv2(self, rendered, cvdet, name):
+        from aruco_slam_tpu.bench import degrade
+        cam, scene, traj, frames, corners, mask = rendered
+        kw = DEGRADATIONS[name]
+        miss = 0
+        total_cv = 0
+        for f in range(0, len(frames), 5):
+            img = degrade.degrade(frames[f], seed=f, **kw)
+            det = detect.detect_markers(jnp.asarray(img), CFG)
+            ours = set(np.where(np.asarray(det.mask))[0].tolist())
+            _, ids, _ = cvdet.detectMarkers(img)
+            theirs = set(ids.ravel().tolist()) if ids is not None \
+                else set()
+            expected = set(np.where(mask[f])[0].tolist())
+            # no hallucinated ids
+            assert ours <= expected, (name, f, ours - expected)
+            miss += len(theirs - ours)
+            total_cv += len(theirs)
+        # recall within ~1 marker of cv2 per sampled frame
+        assert miss <= 6, (name, f"missed {miss} of cv2's {total_cv}")
+
+    @pytest.mark.parametrize("name", ["blur", "noise", "combined"])
+    def test_corner_accuracy_degraded(self, rendered, name):
+        from aruco_slam_tpu.bench import degrade
+        cam, scene, traj, frames, corners, mask = rendered
+        kw = DEGRADATIONS[name]
+        errs = []
+        for f in range(0, len(frames), 5):
+            img = degrade.degrade(frames[f], seed=f, **kw)
+            det = detect.detect_markers(jnp.asarray(img), CFG)
+            for sid in np.where(np.asarray(det.mask))[0]:
+                errs.append(np.abs(np.asarray(det.corners[sid])
+                                   - corners[f][sid]).max())
+        assert len(errs) >= 10, name
+        assert np.mean(errs) < 1.5, (name, np.mean(errs))
+        assert np.max(errs) < 4.0, (name, np.max(errs))
+
+    def test_cluttered_background(self, cvdet):
+        """Distractor shapes must not displace real markers from the
+        candidate set or produce false ids."""
+        from aruco_slam_tpu.bench import degrade, render
+        cam = cam_mod.CameraModel.from_matrix(jnp.asarray(K2),
+                                              jnp.asarray(DIST))
+        scene = synthetic.make_wall_scene(num_markers=10, seed=2)
+        traj = synthetic.make_orbit_trajectory(num_frames=10)
+        bg = degrade.clutter_background((SIZE[1], SIZE[0]), seed=7)
+        frames = render.render_sequence(scene, traj, cam,
+                                        image_size=SIZE, background=bg)
+        _, mask = synthetic.observe_corners(scene, traj, cam, 64,
+                                            image_size=SIZE)
+        miss = 0
+        for f in range(0, len(frames), 3):
+            img = degrade.degrade(frames[f], noise_sigma=5.0, seed=f)
+            det = detect.detect_markers(jnp.asarray(img), CFG)
+            ours = set(np.where(np.asarray(det.mask))[0].tolist())
+            _, ids, _ = cvdet.detectMarkers(img)
+            theirs = set(ids.ravel().tolist()) if ids is not None \
+                else set()
+            expected = set(np.where(mask[f])[0].tolist())
+            assert ours <= expected, (f, ours - expected)
+            miss += len(theirs - ours)
+        assert miss <= 4, f"missed {miss} vs cv2 on clutter"
+
+
 def test_pallas_flood_matches_xla():
     """VMEM-resident flood kernel (interpret on CPU) == XLA stencil."""
     rng = np.random.default_rng(3)
