@@ -23,6 +23,7 @@ import argparse
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from aruco_slam_tpu.config import SlamAppConfig
@@ -100,11 +101,26 @@ def load_camera(cfg: SlamAppConfig, calib_dir=None):
 def load_video_observations(cfg: SlamAppConfig, calib_dir=None):
     """Decode a video file (host) and run the image-domain front end
     — the reference's primary input path (reference
-    main/run_slam.py:96-121)."""
+    main/run_slam.py:96-121).
+
+    The decode runs on a background thread feeding a native ring
+    (io/native.PrefetchingFrameSource), so frame decode overlaps BOTH
+    the host-side chunk assembly and the device detection that JAX
+    async dispatch already overlaps."""
+    import itertools
+
     cam = load_camera(cfg, calib_dir)
     vs = VideoSource(cfg.input)
+    it = vs.frames()
     try:
-        return _observations_from_frames(vs.frames(), cam, cfg)
+        first = next(it)
+    except StopIteration:
+        raise ValueError(f"{cfg.input}: no decodable frames") from None
+    from aruco_slam_tpu.io.native import PrefetchingFrameSource
+    pref = PrefetchingFrameSource(it, first[1].shape, capacity=16)
+    try:
+        return _observations_from_frames(
+            itertools.chain([first], pref), cam, cfg)
     except ValueError as e:
         raise ValueError(f"{cfg.input}: {e}") from e
 
@@ -139,7 +155,8 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
 
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
              with_rotations: bool, viewers=(), load_map_file=None,
-             ambiguity=None):
+             ambiguity=None, ckpt_every: int = 0, ckpt_path=None,
+             resume=None):
     # auto-size the update compaction width to this sequence: frames
     # observing more than max_obs slots would silently drop the extras
     # (filters/mekf.py measurement compaction)
@@ -175,22 +192,48 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
     seq = FrameObservations(
         jnp.asarray(t_cl), jnp.asarray(q_cl), jnp.asarray(mask),
         None if ambiguity is None else jnp.asarray(ambiguity))
+    tt = len(times)
+    start = 0
+    cam_traj = np.zeros((tt, 7), np.float32)
+    if resume:
+        from aruco_slam_tpu.utils.checkpoint import load_checkpoint
+        state, fdone, traj_prev = load_checkpoint(
+            resume, (state, np.int64(0), np.zeros((1, 7), np.float32)))
+        start = int(fdone)
+        cam_traj[:start] = np.asarray(traj_prev)[:start]
+        print(f"resumed from {resume} at frame {start}")
+
+    def checkpoint(frame_done):
+        if not ckpt_every or ckpt_path is None:
+            return
+        from aruco_slam_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(ckpt_path, (state, np.int64(frame_done),
+                                    cam_traj[:frame_done]))
+
     if not viewers:
         t0 = time.perf_counter()
-        state, cam_traj = mekf_scan(fcfg, state, seq)
-        cam_traj = np.asarray(cam_traj)
+        step = ckpt_every if ckpt_every else tt - start
+        for s in range(start, tt, max(step, 1)):
+            e = min(s + step, tt)
+            chunk = jax.tree.map(lambda a: a[s:e], seq)
+            state, traj_chunk = mekf_scan(fcfg, state, chunk)
+            cam_traj[s:e] = np.asarray(traj_chunk)
+            if e < tt:
+                checkpoint(e)
         dt = time.perf_counter() - t0
-        print(f"fused scan: {len(times)} frames in {dt:.3f}s "
-              f"({len(times) / dt:.1f} fps)")
+        done = tt - start
+        print(f"fused scan: {done} frames in {dt:.3f}s "
+              f"({done / dt:.1f} fps)")
     else:
-        cam_traj = np.zeros((len(times), 7))
-        for i in range(len(times)):
+        for i in range(start, tt):
             state = mekf_step(fcfg, state, FrameObservations(
                 seq.t_cl[i], seq.q_cl[i], seq.mask[i],
                 None if seq.ambiguity is None else seq.ambiguity[i]))
             cam_traj[i] = np.asarray(mekf_mod.camera_pose(state))
             _feed_viewers(viewers, cam_traj[i], state.lm,
                           state.active, t_cl[i], q_cl[i], mask[i])
+            if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < tt:
+                checkpoint(i + 1)
     unc = np.asarray(mekf_mod.landmark_uncertainties(fcfg, state))
     active = np.asarray(state.active)
     lm = np.asarray(state.lm)[:, :3]
@@ -198,7 +241,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
 
 
 def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
-                    viewers=()):
+                    viewers=(), ckpt_every: int = 0, ckpt_path=None,
+                    resume=None):
     t = len(times)
     budget = cfg.pose_budget
     if budget and budget < t + 2:
@@ -228,9 +272,27 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
     # without ever syncing on the device (the old int(state.num_poses)
     # read cost one round trip per frame)
     num, drop = 1, max_poses // 2
+    start = 0
+    head = np.zeros((0, 7), np.float32)
+    if resume:
+        from aruco_slam_tpu.utils.checkpoint import load_checkpoint
+        state, fdone, head = load_checkpoint(
+            resume, (state, np.int64(0), np.zeros((1, 7), np.float32)))
+        start = int(fdone)
+        head = np.asarray(head)[:start]
+        num = int(state.num_poses)
+        print(f"resumed from {resume} at frame {start}")
     traj_parts = []
+
+    def materialize():
+        tail = np.concatenate(
+            [np.asarray(jnp.stack([p for p, _ in traj_parts])),
+             np.asarray(jnp.stack([q for _, q in traj_parts]))],
+            axis=1) if traj_parts else np.zeros((0, 7), np.float32)
+        return np.concatenate([head, tail.astype(np.float32)])
+
     t0 = time.perf_counter()
-    for i in range(t):
+    for i in range(start, t):
         state = add_frame(gcfg, state, t_cl_d[i], mask_d[i])
         num = min(num + 1, max_poses)
         state, _ = optimize_window(gcfg, state, window=cfg.window,
@@ -245,12 +307,16 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                                      np.asarray(traj_parts[-1][1])])
             _feed_viewers(viewers, pose_i, state.lm,
                           state.lm_active, t_cl[i], q_cl[i], mask[i])
-    cam_traj = np.concatenate(
-        [np.asarray(jnp.stack([p for p, _ in traj_parts])),
-         np.asarray(jnp.stack([q for _, q in traj_parts]))], axis=1)
+        if ckpt_every and ckpt_path and (i + 1) % ckpt_every == 0 \
+                and i + 1 < t:
+            from aruco_slam_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(ckpt_path,
+                            (state, np.int64(i + 1), materialize()))
+    cam_traj = materialize()
     dt = time.perf_counter() - t0
-    print(f"factorgraph online: {t} frames in {dt:.3f}s "
-          f"({t / dt:.1f} fps)")
+    done = t - start
+    print(f"factorgraph online: {done} frames in {dt:.3f}s "
+          f"({done / dt:.1f} fps)")
     cov = np.asarray(landmark_covariances(gcfg, state))
     unc = np.diagonal(cov, axis1=-2, axis2=-1)
     return cam_traj, np.asarray(state.lm_active), \
@@ -328,6 +394,14 @@ def main(argv=None) -> None:
     p.add_argument("--max-obs", type=int, default=dflt.max_obs,
                    help="MEKF update compaction width (markers per "
                         "frame); 0 = auto-size from the sequence")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save filter/graph state + partial trajectory "
+                        "every N frames (0 = off)")
+    p.add_argument("--checkpoint", default="outputs/checkpoint.npz",
+                   help="checkpoint file path")
+    p.add_argument("--resume", default=None,
+                   help="resume a killed run from a checkpoint; "
+                        "continues bit-exactly (tests/test_io_apps.py)")
     p.add_argument("--huber-delta", type=float, default=dflt.huber_delta,
                    help="robust BA loss delta (whitened); 0 = plain LS")
     args = p.parse_args(argv)
@@ -371,10 +445,13 @@ def main(argv=None) -> None:
             cfg, times, t_cl, q_cl, mask, cam,
             with_rotations=(cfg.filter == "mekf_rotations"),
             viewers=viewers, load_map_file=args.load_map,
-            ambiguity=amb)
+            ambiguity=amb, ckpt_every=args.checkpoint_every,
+            ckpt_path=args.checkpoint, resume=args.resume)
     else:
         cam_traj, active, lm, unc = run_factorgraph(
-            cfg, times, t_cl, q_cl, mask, cam, viewers=viewers)
+            cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
+            ckpt_every=args.checkpoint_every,
+            ckpt_path=args.checkpoint, resume=args.resume)
 
     for v in viewers:
         v.close()

@@ -4,8 +4,10 @@ The reference's only persistence is the final landmark map text file
 (reference filters/base_filter.py:214-272) plus a dill cache of SymPy
 lambdas; there is no mid-run checkpointing (SURVEY.md §5). Here any
 state pytree (MekfState, GraphState, or an arbitrary nest) round-trips
-through Orbax when available, with a plain .npz fallback, so long runs
-resume exactly.
+through a single compressed .npz (leaves in tree order), so long runs
+resume exactly — surfaced as `--checkpoint-every N` / `--resume PATH`
+on the online driver (apps/run_slam.py), resume-equality tested in
+tests/test_io_apps.py.
 """
 
 from __future__ import annotations

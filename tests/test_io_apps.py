@@ -108,6 +108,35 @@ def test_run_offline_end_to_end(seq_file, tmp_path):
     assert np.isfinite(poses).all()
 
 
+@pytest.mark.parametrize("filt", ["mekf", "factorgraph"])
+def test_checkpoint_resume_matches_uninterrupted(seq_file, tmp_path,
+                                                 filt):
+    """A killed-and-resumed run must produce the same trajectory as an
+    uninterrupted checkpointing run, bitwise (SURVEY.md §5 'TPU build:
+    real checkpointing'; the reference has no mid-run persistence)."""
+    from aruco_slam_tpu.apps import run_slam
+    ckpt = tmp_path / "ck.npz"
+    t_full, t_res = tmp_path / "full.txt", tmp_path / "res.txt"
+
+    # uninterrupted run, checkpointing every 10 frames
+    run_slam.main(["--input", str(seq_file), "--filter", filt,
+                   "--trajectory", str(t_full),
+                   "--map", str(tmp_path / "m1.txt"),
+                   "--checkpoint-every", "10",
+                   "--checkpoint", str(ckpt)])
+    assert ckpt.exists()
+    # "killed" at frame 30: resume from the last checkpoint and finish
+    run_slam.main(["--input", str(seq_file), "--filter", filt,
+                   "--trajectory", str(t_res),
+                   "--map", str(tmp_path / "m2.txt"),
+                   "--checkpoint-every", "10",
+                   "--checkpoint", str(tmp_path / "ck2.npz"),
+                   "--resume", str(ckpt)])
+    _, full = read_trajectory(t_full)
+    _, res = read_trajectory(t_res)
+    np.testing.assert_array_equal(res, full)
+
+
 @pytest.fixture(scope="module")
 def image_seq_file(tmp_path_factory):
     """Small image-bearing bundle: real rendered frames for the viz
