@@ -67,6 +67,16 @@ class GraphConfig(NamedTuple):
     pixel_sigma: float = 0.0
     focal_px: float = 1414.9
     marker_size: float = 0.16
+    # 6-dof landmarks: estimate marker ORIENTATIONS too (the reference
+    # stores full Pose3 landmarks, reference factor_graph.py:287-300;
+    # its rotation measurements are vestigial copies of the camera
+    # estimate, but our online mekf_rotations produces real landmark
+    # orientations — this is the offline smoother that can refine
+    # them). Measurement factors gain a 3-dim rotation residual
+    # Log(q_cl_meas^-1 (q_i^-1 q_lj)) whitened by meas_sigma_rot, and
+    # the Schur landmark blocks become 6x6.
+    with_rotations: bool = False
+    meas_sigma_rot: float = 0.35  # ~20 deg, matches the odometry prior
     # Levenberg-Marquardt (reference factor_graph.py:334-336)
     lm_init_lambda: float = 1e-4
     lm_factor: float = 4.0
@@ -76,6 +86,11 @@ class GraphConfig(NamedTuple):
     # supports robust noise models but the reference never enables one)
     huber_delta: float = 0.0
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def lm_dim(self) -> int:
+        """Landmark error-state dimension: 3 (point) or 6 (pose)."""
+        return 6 if self.with_rotations else 3
 
 
 class GraphState(NamedTuple):
@@ -88,15 +103,19 @@ class GraphState(NamedTuple):
     pose_q: jnp.ndarray    # (T, 4) wxyz camera-to-world
     pose_t: jnp.ndarray    # (T, 3)
     lm: jnp.ndarray        # (L, 3) marker positions (world)
+    lm_q: jnp.ndarray      # (L, 4) marker orientations (world, wxyz;
+    #                        identity and unused unless with_rotations)
     lm_active: jnp.ndarray  # (L,) bool
     num_poses: jnp.ndarray  # () int32 — poses 0..num_poses-1 are live
     f_pose: jnp.ndarray    # (F,) int32 observing pose index
     f_lm: jnp.ndarray      # (F,) int32 observed landmark index
     f_tcl: jnp.ndarray     # (F, 3) measured marker pos in camera frame
+    f_qcl: jnp.ndarray     # (F, 4) measured marker orientation in the
+    #                        camera frame (identity unless with_rotations)
     f_sig: jnp.ndarray     # (F, 3) per-axis whitening sigmas
     f_valid: jnp.ndarray   # (F,) bool
     f_count: jnp.ndarray   # () int32
-    prior_lm_h: jnp.ndarray     # (L, 3, 3) information
+    prior_lm_h: jnp.ndarray     # (L, 3, 3) information (position block)
     prior_lm_mean: jnp.ndarray  # (L, 3)
 
 
@@ -112,11 +131,13 @@ def init_graph(cfg: GraphConfig, cam_t=None, cam_q=None) -> GraphState:
         pose_q=pose_q,
         pose_t=pose_t,
         lm=jnp.zeros((cfg.max_landmarks, 3), dt),
+        lm_q=jnp.zeros((cfg.max_landmarks, 4), dt).at[:, 0].set(1.0),
         lm_active=jnp.zeros(cfg.max_landmarks, bool),
         num_poses=jnp.asarray(1, jnp.int32),
         f_pose=jnp.zeros(cfg.max_factors, jnp.int32),
         f_lm=jnp.zeros(cfg.max_factors, jnp.int32),
         f_tcl=jnp.zeros((cfg.max_factors, 3), dt),
+        f_qcl=jnp.zeros((cfg.max_factors, 4), dt).at[:, 0].set(1.0),
         f_sig=jnp.full((cfg.max_factors, 3), cfg.meas_sigma_t, dt),
         f_valid=jnp.zeros(cfg.max_factors, bool),
         f_count=jnp.asarray(0, jnp.int32),
@@ -127,26 +148,36 @@ def init_graph(cfg: GraphConfig, cam_t=None, cam_q=None) -> GraphState:
 
 @functools.partial(jax.jit, static_argnums=0)
 def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
-              mask: jnp.ndarray) -> GraphState:
+              mask: jnp.ndarray, q_cl: jnp.ndarray | None = None
+              ) -> GraphState:
     """Ingest one frame: measurement factors for observed slots, new
     landmark initialization, and the next pose (identity motion model,
     reference factor_graph.py:161-189).
 
     ``t_cl``: (C, 3) marker positions in the camera frame, slot-indexed
-    (slot == landmark index == marker id); ``mask``: (C,) bool.
-    Observations beyond factor capacity are dropped (oldest-first
-    semantics are preserved by construction — new factors append).
+    (slot == landmark index == marker id); ``mask``: (C,) bool;
+    ``q_cl``: (C, 4) marker orientations in the camera frame (wxyz),
+    used when cfg.with_rotations. Observations beyond factor capacity
+    are dropped (oldest-first semantics are preserved by construction
+    — new factors append).
     """
     dt = cfg.dtype
     i = state.num_poses - 1  # current pose index
     cam_q = state.pose_q[i]
     cam_t = state.pose_t[i]
     t_cl = jnp.where(mask[:, None], t_cl.astype(dt), 0.0)
+    if q_cl is None:
+        q_cl = jnp.zeros(t_cl.shape[:1] + (4,), dt).at[:, 0].set(1.0)
+    else:
+        q_cl = jnp.where(mask[:, None], quat.normalize(
+            q_cl.astype(dt)), jnp.asarray([1.0, 0, 0, 0], dt))
 
     # initialize unseen landmarks in the world frame
     new = mask & ~state.lm_active
     lm_init = quat.rotate(cam_q[None, :], t_cl) + cam_t
     lm = jnp.where(new[:, None], lm_init, state.lm)
+    lmq_init = quat.multiply(cam_q[None, :], q_cl)
+    lm_q = jnp.where(new[:, None], lmq_init, state.lm_q)
     lm_active = state.lm_active | mask
 
     # append measurement factors at slots f_count + rank(slot in mask)
@@ -165,6 +196,7 @@ def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
     f_pose = scatter(state.f_pose, jnp.full(c, i, jnp.int32))
     f_lm = scatter(state.f_lm, slots)
     f_tcl = scatter(state.f_tcl, t_cl)
+    f_qcl = scatter(state.f_qcl, q_cl)
     if cfg.pixel_sigma > 0.0:
         depth = jnp.clip(t_cl[:, 2], 0.2, None)
         sig_z = jnp.maximum(
@@ -187,9 +219,10 @@ def add_frame(cfg: GraphConfig, state: GraphState, t_cl: jnp.ndarray,
                             jnp.asarray(cfg.max_poses, jnp.int32))
 
     return state._replace(
-        pose_q=pose_q, pose_t=pose_t, lm=lm, lm_active=lm_active,
-        num_poses=num_poses, f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl,
-        f_sig=f_sig, f_valid=f_valid, f_count=f_count)
+        pose_q=pose_q, pose_t=pose_t, lm=lm, lm_q=lm_q,
+        lm_active=lm_active, num_poses=num_poses, f_pose=f_pose,
+        f_lm=f_lm, f_tcl=f_tcl, f_qcl=f_qcl, f_sig=f_sig,
+        f_valid=f_valid, f_count=f_count)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -336,6 +369,10 @@ def marginalize_poses(cfg: GraphConfig, state: GraphState,
     f_pose = jnp.maximum(f_pose, 0)
     f_lm = compact(state.f_lm)
     f_tcl = compact(state.f_tcl)
+    # invalid slots get the identity quaternion (w=1 via fill on the
+    # scalar column after compaction)
+    f_qcl = compact(state.f_qcl).at[:, 0].add(
+        1.0 - compact(state.f_valid.astype(dt)))
     # invalid slots keep a nonzero sigma (residuals divide by it
     # before the validity mask zeroes them)
     f_sig = compact(state.f_sig, fill=cfg.meas_sigma_t)
@@ -348,8 +385,8 @@ def marginalize_poses(cfg: GraphConfig, state: GraphState,
 
     return state._replace(
         pose_q=pose_q, pose_t=pose_t, num_poses=num_poses,
-        f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl, f_sig=f_sig,
-        f_valid=f_valid, f_count=f_count,
+        f_pose=f_pose, f_lm=f_lm, f_tcl=f_tcl, f_qcl=f_qcl,
+        f_sig=f_sig, f_valid=f_valid, f_count=f_count,
         prior_lm_h=prior_lm_h, prior_lm_mean=prior_lm_mean)
 
 
@@ -370,6 +407,24 @@ def _meas_residual(eps_p, eps_l, pose_q, pose_t, lm, t_cl, sigma_t):
     return (pred - t_cl) / sigma_t
 
 
+def _meas_residual_rot(eps_p, eps_l, pose_q, pose_t, lm, lm_q, t_cl,
+                       q_cl, sigma_t, sigma_rot):
+    """Whitened 6-dof pose-landmark observation residual (6,):
+    [position (camera frame) / sigma_t, Log(q_cl_meas⁻¹ q_cl_pred)
+    / sigma_rot]. Landmark perturbation eps_l = [δl (world), δθ
+    (right rotvec on q_lj)] — the offline counterpart of
+    mekf_rotations' landmark error state (filters/mekf.py)."""
+    q = quat.multiply(pose_q, quat.from_rotvec(eps_p[:3]))
+    t = pose_t + eps_p[3:]
+    lq = quat.multiply(lm_q, quat.from_rotvec(eps_l[3:]))
+    pred_t = quat.rotate(quat.conjugate(q), lm + eps_l[:3] - t)
+    r_t = (pred_t - t_cl) / sigma_t
+    pred_q = quat.multiply(quat.conjugate(q), lq)
+    r_r = quat.to_rotvec(
+        quat.multiply(quat.conjugate(q_cl), pred_q)) / sigma_rot
+    return jnp.concatenate([r_t, r_r])
+
+
 def _odom_residual(eps_a, eps_b, qa, ta, qb, tb, sig_rot, sig_t):
     """Whitened identity-motion between-factor residual (6,) for the
     pose pair (a = X_{i}, b = X_{i-1}): [Log(R_aᵀ R_b), R_aᵀ(t_b − t_a)]
@@ -388,14 +443,47 @@ def _odom_residual(eps_a, eps_b, qa, ta, qb, tb, sig_rot, sig_t):
 class MeasTerms(NamedTuple):
     """Measurement-factor contributions to the normal equations — a
     plain pytree of sums over factors, so partial results computed on
-    factor *shards* combine with `psum` (see parallel/sharded_ba.py)."""
+    factor *shards* combine with `psum` (see parallel/sharded_ba.py).
+    D = cfg.lm_dim (3 point / 6 pose landmarks)."""
 
     diag: jnp.ndarray   # (T, 6, 6) pose diagonal blocks
-    w4: jnp.ndarray     # (T, 6, L, 3) pose-landmark coupling
-    h_ll: jnp.ndarray   # (L, 3, 3) landmark blocks
+    w4: jnp.ndarray     # (T, 6, L, D) pose-landmark coupling
+    h_ll: jnp.ndarray   # (L, D, D) landmark blocks
     g_p: jnp.ndarray    # (T, 6)
-    g_l: jnp.ndarray    # (L, 3)
+    g_l: jnp.ndarray    # (L, D)
     cost: jnp.ndarray   # ()
+
+
+def _meas_linearize(cfg: GraphConfig, state: GraphState):
+    """Per-factor residuals + Jacobian blocks:
+    (r (F, m), jp (F, m, 6), jl (F, m, D)) with m = 3 or 6."""
+    dt = cfg.dtype
+    z6 = jnp.zeros(6, dt)
+    zl = jnp.zeros(cfg.lm_dim, dt)
+    fq = state.pose_q[state.f_pose]
+    ft = state.pose_t[state.f_pose]
+    fl = state.lm[state.f_lm]
+
+    if cfg.with_rotations:
+        flq = state.lm_q[state.f_lm]
+
+        def meas_all(q, t, l, lq, tcl, qcl, sig):
+            args = (q, t, l, lq, tcl, qcl, sig, cfg.meas_sigma_rot)
+            r = _meas_residual_rot(z6, zl, *args)
+            jp, jl = jax.jacfwd(_meas_residual_rot, argnums=(0, 1))(
+                z6, zl, *args)
+            return r, jp, jl
+
+        return jax.vmap(meas_all)(fq, ft, fl, flq, state.f_tcl,
+                                  state.f_qcl, state.f_sig)
+
+    def meas_all(q, t, l, tcl, sig):
+        r = _meas_residual(z6, zl, q, t, l, tcl, sig)
+        jp, jl = jax.jacfwd(_meas_residual, argnums=(0, 1))(
+            z6, zl, q, t, l, tcl, sig)
+        return r, jp, jl
+
+    return jax.vmap(meas_all)(fq, ft, fl, state.f_tcl, state.f_sig)
 
 
 def _meas_terms(cfg: GraphConfig, state: GraphState, pose_free
@@ -405,21 +493,8 @@ def _meas_terms(cfg: GraphConfig, state: GraphState, pose_free
     normal-equation contributions."""
     dt = cfg.dtype
     tcap, lcap = cfg.max_poses, cfg.max_landmarks
-    z6 = jnp.zeros(6, dt)
-    z3 = jnp.zeros(3, dt)
 
-    fq = state.pose_q[state.f_pose]
-    ft = state.pose_t[state.f_pose]
-    fl = state.lm[state.f_lm]
-
-    def meas_all(q, t, l, tcl, sig):
-        r = _meas_residual(z6, z3, q, t, l, tcl, sig)
-        jp, jl = jax.jacfwd(_meas_residual, argnums=(0, 1))(
-            z6, z3, q, t, l, tcl, sig)
-        return r, jp, jl
-
-    r_m, jp_m, jl_m = jax.vmap(meas_all)(fq, ft, fl, state.f_tcl,
-                                         state.f_sig)
+    r_m, jp_m, jl_m = _meas_linearize(cfg, state)
     if cfg.huber_delta > 0.0:
         rn = jnp.linalg.norm(r_m, axis=-1)
         wgt = jnp.sqrt(jnp.minimum(
@@ -433,16 +508,17 @@ def _meas_terms(cfg: GraphConfig, state: GraphState, pose_free
                      jp_m, 0.0)
     jl_m = jnp.where(valid[:, None, None], jl_m, 0.0)
 
+    ld = cfg.lm_dim
     diag = jnp.zeros((tcap, 6, 6), dt).at[state.f_pose].add(
         jnp.einsum("fmi,fmj->fij", jp_m, jp_m))
-    w4 = jnp.zeros((tcap, 6, lcap, 3), dt)
+    w4 = jnp.zeros((tcap, 6, lcap, ld), dt)
     w4 = w4.at[state.f_pose, :, state.f_lm, :].add(
         jnp.einsum("fmi,fmj->fij", jp_m, jl_m))
-    h_ll = jnp.zeros((lcap, 3, 3), dt).at[state.f_lm].add(
+    h_ll = jnp.zeros((lcap, ld, ld), dt).at[state.f_lm].add(
         jnp.einsum("fmi,fmj->fij", jl_m, jl_m))
     g_p = jnp.zeros((tcap, 6), dt).at[state.f_pose].add(
         -jnp.einsum("fmi,fm->fi", jp_m, r_m))
-    g_l = jnp.zeros((lcap, 3), dt).at[state.f_lm].add(
+    g_l = jnp.zeros((lcap, ld), dt).at[state.f_lm].add(
         -jnp.einsum("fmi,fm->fi", jl_m, r_m))
     return MeasTerms(diag=diag, w4=w4, h_ll=h_ll, g_p=g_p, g_l=g_l,
                      cost=jnp.sum(r_m * r_m))
@@ -511,17 +587,24 @@ def _landmark_system(cfg: GraphConfig, lm, lm_active, prior_h,
     """Landmark blocks + marginalization priors. Works on the full
     landmark set or (in the distributed path) on this device's
     landmark SHARD — every input is per-landmark, so slicing is
-    exact. Returns (h_ll (l, 3, 3), g_l (l, 3), prior_cost)."""
+    exact. Returns (h_ll (l, D, D), g_l (l, D), prior_cost).
+
+    Priors carry POSITION information only ((l, 3, 3) always): with
+    6-dof landmarks they pad into the top-left block — pose
+    marginalization folds no rotation information (see
+    marginalize_poses), matching the MEKF's treatment of rotation
+    uncertainty as filter-local."""
     dt = cfg.dtype
+    ld = cfg.lm_dim
     # inactive landmarks: identity so the block inverse is well defined
     h_ll = meas_h_ll + jnp.where(
-        lm_active[:, None, None], 0.0, 1.0) * jnp.eye(3, dtype=dt)
+        lm_active[:, None, None], 0.0, 1.0) * jnp.eye(ld, dtype=dt)
     # marginalization priors (information form): quadratic factors
     # 0.5 (l - m)' Λ (l - m) per landmark (see marginalize_poses)
-    h_ll = h_ll + prior_h
+    h_ll = h_ll.at[:, :3, :3].add(prior_h)
     prior_r = prior_mean - lm                        # (l, 3)
     hp = jnp.einsum("lij,lj->li", prior_h, prior_r)
-    g_l = meas_g_l + hp
+    g_l = meas_g_l.at[:, :3].add(hp)
     return h_ll, g_l, jnp.sum(prior_r * hp)
 
 
@@ -550,8 +633,9 @@ def _linearize(cfg: GraphConfig, state: GraphState, free_from,
     h_ll, g_l4, prior_cost = _landmark_system(
         cfg, state.lm, state.lm_active, state.prior_lm_h,
         state.prior_lm_mean, meas.h_ll, meas.g_l)
-    w = meas.w4.reshape(tcap * 6, lcap * 3)
-    return h_pp, w, h_ll, g_p, g_l4.reshape(lcap * 3), cost + prior_cost
+    w = meas.w4.reshape(tcap * 6, lcap * cfg.lm_dim)
+    return h_pp, w, h_ll, g_p, g_l4.reshape(lcap * cfg.lm_dim), \
+        cost + prior_cost
 
 
 def _schur_reduce(h_ll, w3, g_l3, damping):
@@ -563,8 +647,8 @@ def _schur_reduce(h_ll, w3, g_l3, damping):
     Returns (h_ll_inv, w_hinv, s_meas (T6, T6), g_s_meas (T6,)).
     """
     dt = w3.dtype
-    eye3 = jnp.eye(3, dtype=dt)
-    h_ll_inv = jnp.linalg.inv(h_ll + damping * eye3[None])
+    eye = jnp.eye(h_ll.shape[-1], dtype=dt)
+    h_ll_inv = jnp.linalg.inv(h_ll + damping * eye[None])
     w_hinv = jnp.einsum("nlk,lkm->nlm", w3, h_ll_inv)    # (T6, l, 3)
     s_meas = jnp.einsum("nlm,plm->np", w_hinv, w3)
     g_s_meas = jnp.einsum("nlm,lm->n", w_hinv, g_l3)
@@ -589,8 +673,8 @@ def _schur_back_substitute(h_ll_inv, w3, g_l3, dp):
 def _schur_solve(cfg: GraphConfig, h_pp, w, h_ll, g_p, g_l, damping):
     """Schur-eliminate landmarks, solve the reduced camera system."""
     lcap = cfg.max_landmarks
-    w3 = w.reshape(-1, lcap, 3)                          # (T6, L, 3)
-    g_l3 = g_l.reshape(lcap, 3)
+    w3 = w.reshape(-1, lcap, cfg.lm_dim)                 # (T6, L, D)
+    g_l3 = g_l.reshape(lcap, cfg.lm_dim)
     h_ll_inv, _, s_meas, g_s_meas = _schur_reduce(h_ll, w3, g_l3,
                                                   damping)
     dp = _schur_pose_solve(h_pp, g_p, s_meas, g_s_meas, damping)
@@ -599,6 +683,7 @@ def _schur_solve(cfg: GraphConfig, h_pp, w, h_ll, g_p, g_l, damping):
 
 
 def _retract(state: GraphState, dp, dl, free_from):
+    """dl: (L, 3) point or (L, 6) [δl, δθ] pose-landmark updates."""
     tcap = state.pose_q.shape[0]
     pose_free = (jnp.arange(tcap) >= jnp.maximum(free_from, 1)) \
         & (jnp.arange(tcap) < state.num_poses)
@@ -607,8 +692,12 @@ def _retract(state: GraphState, dp, dl, free_from):
         quat.multiply(state.pose_q, quat.from_rotvec(dp[:, :3])))
     pose_t = state.pose_t + dp[:, 3:]
     dl = jnp.where(state.lm_active[:, None], dl, 0.0)
+    lm_q = state.lm_q
+    if dl.shape[-1] == 6:
+        lm_q = quat.normalize(quat.multiply(
+            lm_q, quat.from_rotvec(dl[:, 3:])))
     return state._replace(pose_q=pose_q, pose_t=pose_t,
-                          lm=state.lm + dl)
+                          lm=state.lm + dl[:, :3], lm_q=lm_q)
 
 
 def _cost_parts(cfg: GraphConfig, state: GraphState
@@ -625,11 +714,19 @@ def _cost_parts(cfg: GraphConfig, state: GraphState
     ft = state.pose_t[state.f_pose]
     fl = state.lm[state.f_lm]
     z6 = jnp.zeros(6, dt)
-    z3 = jnp.zeros(3, dt)
-    r_m = jax.vmap(
-        lambda q, t, l, tcl, sig: _meas_residual(
-            z6, z3, q, t, l, tcl, sig)
-    )(fq, ft, fl, state.f_tcl, state.f_sig)
+    zl = jnp.zeros(cfg.lm_dim, dt)
+    if cfg.with_rotations:
+        r_m = jax.vmap(
+            lambda q, t, l, lq, tcl, qcl, sig: _meas_residual_rot(
+                z6, zl, q, t, l, lq, tcl, qcl, sig,
+                cfg.meas_sigma_rot)
+        )(fq, ft, fl, state.lm_q[state.f_lm], state.f_tcl,
+          state.f_qcl, state.f_sig)
+    else:
+        r_m = jax.vmap(
+            lambda q, t, l, tcl, sig: _meas_residual(
+                z6, zl, q, t, l, tcl, sig)
+        )(fq, ft, fl, state.f_tcl, state.f_sig)
     if cfg.huber_delta > 0.0:
         rn = jnp.linalg.norm(r_m, axis=-1)
         r_m = r_m * jnp.sqrt(jnp.minimum(
@@ -733,8 +830,9 @@ def _landmark_covariances_impl(cfg, state):
     dt = cfg.dtype
     lcap = cfg.max_landmarks
     eps = 1e-6
-    h_ll_inv = jnp.linalg.inv(h_ll + eps * jnp.eye(3, dtype=dt)[None])
-    w3 = w.reshape(-1, lcap, 3)
+    h_ll_inv = jnp.linalg.inv(
+        h_ll + eps * jnp.eye(cfg.lm_dim, dtype=dt)[None])
+    w3 = w.reshape(-1, lcap, cfg.lm_dim)
     m = jnp.einsum("nlk,lkm->nlm", w3, h_ll_inv)       # W H_ll⁻¹
     s = h_pp - jnp.einsum("nlm,plm->np", m, w3)
     s = s + eps * jnp.eye(s.shape[0], dtype=dt)

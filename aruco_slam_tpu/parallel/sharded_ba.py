@@ -48,10 +48,11 @@ def _state_specs(axis: str) -> GraphState:
     """PartitionSpec pytree: poses replicated, landmarks + factors
     sharded over `axis`."""
     return GraphState(
-        pose_q=P(), pose_t=P(), lm=P(axis), lm_active=P(axis),
-        num_poses=P(), f_pose=P(axis), f_lm=P(axis), f_tcl=P(axis),
-        f_sig=P(axis), f_valid=P(axis), f_count=P(),
-        prior_lm_h=P(axis), prior_lm_mean=P(axis))
+        pose_q=P(), pose_t=P(), lm=P(axis), lm_q=P(axis),
+        lm_active=P(axis), num_poses=P(), f_pose=P(axis),
+        f_lm=P(axis), f_tcl=P(axis), f_qcl=P(axis), f_sig=P(axis),
+        f_valid=P(axis), f_count=P(), prior_lm_h=P(axis),
+        prior_lm_mean=P(axis))
 
 
 def _shard_capacity(cfg: GraphConfig, state: GraphState, n: int) -> int:
@@ -111,13 +112,23 @@ def partition_by_landmark(cfg: GraphConfig, state: GraphState, n: int,
         return jnp.asarray(np.pad(a, pad))
 
     f_lm_local = scatter(f_lm - np.maximum(shard, 0) * lm_per)
+    qcl = np.asarray(state.f_qcl)
+    qcl_s = np.zeros((f2, 4), qcl.dtype)
+    qcl_s[:, 0] = 1.0
+    qcl_s[d] = qcl[src]
+    lmq = np.asarray(state.lm_q)
+    lmq_p = np.zeros((lcap2, 4), lmq.dtype)
+    lmq_p[:, 0] = 1.0
+    lmq_p[:lcap] = lmq
     cfg2 = cfg._replace(max_factors=f2, max_landmarks=lcap2)
     state2 = state._replace(
         lm=pad_lm(state.lm),
+        lm_q=jnp.asarray(lmq_p),
         lm_active=pad_lm(state.lm_active),
         f_pose=scatter(state.f_pose),
         f_lm=f_lm_local,
         f_tcl=scatter(state.f_tcl),
+        f_qcl=jnp.asarray(qcl_s),
         f_sig=scatter(state.f_sig, fill=float(cfg.meas_sigma_t)),
         f_valid=scatter(state.f_valid),
         prior_lm_h=pad_lm(state.prior_lm_h),
@@ -165,7 +176,7 @@ def _lm_iterations(cfg: GraphConfig, lcfg: GraphConfig, axis: str,
         h_ll, g_l3, _ = ba._landmark_system(
             lcfg, st.lm, st.lm_active, st.prior_lm_h,
             st.prior_lm_mean, meas.h_ll, meas.g_l)
-        w3 = meas.w4.reshape(cfg.max_poses * 6, -1, 3)
+        w3 = meas.w4.reshape(cfg.max_poses * 6, -1, cfg.lm_dim)
         h_ll_inv, _, s_part, g_s_part = ba._schur_reduce(
             h_ll, w3, g_l3, lam)
         s_meas, g_s_meas = jax.lax.psum((s_part, g_s_part), axis)
@@ -233,10 +244,11 @@ def sharded_batch_optimize(cfg: GraphConfig, state: GraphState,
     lcap = cfg.max_landmarks
     # poses/cost leave shard_map replicated already; the landmark shard
     # is gathered (and the pad sliced off) so hosts can read it
-    lm = jax.jit(lambda x: x[:lcap],
-                 out_shardings=NamedSharding(mesh, P()))(out.lm)
+    lm, lm_q = jax.jit(lambda a, b: (a[:lcap], b[:lcap]),
+                       out_shardings=NamedSharding(mesh, P()))(
+        out.lm, out.lm_q)
     return state._replace(pose_q=out.pose_q, pose_t=out.pose_t,
-                          lm=lm), cost
+                          lm=lm, lm_q=lm_q), cost
 
 
 # ---------------------------------------------------------------------------
@@ -255,10 +267,11 @@ def _fleet_specs(data_axis: str, kf_axis: str) -> GraphState:
     replicated within each problem's kf group."""
     d, k = data_axis, kf_axis
     return GraphState(
-        pose_q=P(d), pose_t=P(d), lm=P(d, k), lm_active=P(d, k),
-        num_poses=P(d), f_pose=P(d, k), f_lm=P(d, k), f_tcl=P(d, k),
-        f_sig=P(d, k), f_valid=P(d, k), f_count=P(d),
-        prior_lm_h=P(d, k), prior_lm_mean=P(d, k))
+        pose_q=P(d), pose_t=P(d), lm=P(d, k), lm_q=P(d, k),
+        lm_active=P(d, k), num_poses=P(d), f_pose=P(d, k),
+        f_lm=P(d, k), f_tcl=P(d, k), f_qcl=P(d, k), f_sig=P(d, k),
+        f_valid=P(d, k), f_count=P(d), prior_lm_h=P(d, k),
+        prior_lm_mean=P(d, k))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -321,7 +334,9 @@ def sharded_fleet_optimize(cfg: GraphConfig, states: GraphState,
     lcap = cfg.max_landmarks
     rep = NamedSharding(mesh, P())
     out_host = jax.jit(
-        lambda o, c: (o.pose_q, o.pose_t, o.lm[:, :lcap], c),
+        lambda o, c: (o.pose_q, o.pose_t, o.lm[:, :lcap],
+                      o.lm_q[:, :lcap], c),
         out_shardings=rep)(out, cost)
-    pose_q, pose_t, lm, cost = out_host
-    return states._replace(pose_q=pose_q, pose_t=pose_t, lm=lm), cost
+    pose_q, pose_t, lm, lm_q, cost = out_host
+    return states._replace(pose_q=pose_q, pose_t=pose_t, lm=lm,
+                           lm_q=lm_q), cost

@@ -247,3 +247,73 @@ def test_marginalization_bounded_window():
     e_bound = ate.ate_rmse(est_bound, traj.cam_t)
     assert e_bound < 0.05, e_bound
     assert e_bound < 2.0 * e_full + 0.01, (e_bound, e_full)
+
+
+def _quat_angle_deg(a, b):
+    d = np.abs(np.sum(a * b, axis=-1))
+    return np.degrees(2 * np.arccos(np.clip(d, -1, 1)))
+
+
+def test_rotation_landmarks_smoothing_improves_orientation():
+    """6-dof landmark mode (GraphConfig(with_rotations=True)): batch
+    smoothing must refine marker ORIENTATIONS below the single-shot
+    initialization error — the offline counterpart of mekf_rotations
+    (the reference stores Pose3 landmarks,
+    reference filters/factor_graph.py:287-300)."""
+    frames, markers = 50, 8
+    cfg = GraphConfig(max_poses=frames + 2, max_landmarks=16,
+                      max_factors=frames * 10, dtype=jnp.float64,
+                      with_rotations=True, meas_sigma_rot=0.05,
+                      **TUNED)
+    scene = synthetic.make_wall_scene(num_markers=markers, seed=3)
+    traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    obs = synthetic.observe_poses(
+        scene, traj, cfg.max_landmarks, noise_t=0.005, noise_r=0.05,
+        fov_limit=0.75)
+    state = init_graph(cfg)
+    init_err = {}
+    for i in range(frames):
+        st_before = state
+        state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
+                          jnp.asarray(obs.mask[i]),
+                          jnp.asarray(obs.q_cl[i]))
+        new = np.asarray(state.lm_active) & ~np.asarray(
+            st_before.lm_active)
+        for j in np.where(new)[0]:
+            init_err[j] = _quat_angle_deg(
+                np.asarray(state.lm_q[j]), scene.marker_quat[j])
+    out, cost = batch_optimize(cfg, state, iters=25)
+    assert np.isfinite(float(cost))
+    act = np.where(np.asarray(out.lm_active))[0]
+    assert len(act) == markers
+    sm_err = _quat_angle_deg(np.asarray(out.lm_q)[act],
+                             scene.marker_quat[act])
+    init = np.array([init_err[j] for j in act])
+    # smoothing pools every observation: beat the single-shot init on
+    # average and land near the noise floor
+    assert sm_err.mean() < 0.6 * init.mean() + 0.05, \
+        (sm_err.mean(), init.mean())
+    assert sm_err.mean() < 1.5, sm_err.mean()
+    # positions must stay near point-mode quality (rotation factors
+    # trade a little translation accuracy for orientation estimates
+    # when the rotation noise is tight)
+    err_t = ate.ate_rmse(np.asarray(out.pose_t)[:frames], traj.cam_t)
+    assert err_t < 0.03, err_t
+
+
+def test_rotation_landmarks_match_point_mode_positions():
+    """With rotation factors on, position estimates must not degrade
+    relative to the point-landmark solve on the same data."""
+    cfg, scene, traj, obs = build_problem(noise_t=0.005, **TUNED)
+    state_p = ingest_all(cfg, obs, 50)
+    out_p, _ = batch_optimize(cfg, state_p, iters=20)
+    cfg_r = cfg._replace(with_rotations=True, meas_sigma_rot=0.1)
+    state_r = init_graph(cfg_r)
+    for i in range(50):
+        state_r = add_frame(cfg_r, state_r, jnp.asarray(obs.t_cl[i]),
+                            jnp.asarray(obs.mask[i]),
+                            jnp.asarray(obs.q_cl[i]))
+    out_r, _ = batch_optimize(cfg_r, state_r, iters=20)
+    e_p = ate.ate_rmse(est_traj(out_p, 50), traj.cam_t)
+    e_r = ate.ate_rmse(est_traj(out_r, 50), traj.cam_t)
+    assert e_r < 1.5 * e_p + 0.005, (e_r, e_p)
