@@ -94,12 +94,59 @@ def main(argv=None) -> None:
     jax.block_until_ready(timed(images, state0))
     dt = (time.perf_counter() - t0) / reps
     fps = t / dt
-    print(json.dumps({
+
+    # --- stage split: each stage timed as its own on-device program
+    # (utils/profiling.StageTimer blocks on results, so the numbers
+    # are real compute, not async dispatch artifacts) ---
+    from aruco_slam_tpu.utils.profiling import StageTimer
+
+    @jax.jit
+    def detect_only(ims):
+        return jax.lax.map(
+            lambda x: detect.detect_markers_batch(x, dcfg),
+            ims.reshape(t // ch, ch, *ims.shape[1:]))
+
+    @jax.jit
+    def pnp_only(corners):
+        return jax.lax.map(
+            lambda c: pnp.solve_square_pnp(cam, c, marker_size),
+            corners)
+
+    def mekf_only(obs, state):
+        return mekf_scan(fcfg, state, obs)
+
+    det = jax.block_until_ready(detect_only(images))     # warm
+    res = jax.block_until_ready(pnp_only(det.corners))
+    merge = lambda a: a.reshape(t, *a.shape[2:])
+    obs = FrameObservations(
+        merge(res.t_cl), merge(res.q_cl),
+        merge(det.mask & (res.err < 3.0)))
+    mekf_jit = jax.jit(mekf_only)
+    jax.block_until_ready(mekf_jit(obs, state0))
+    timer = StageTimer()
+    with timer.stage("detect") as s:
+        s["result"] = detect_only(images)
+    with timer.stage("pnp") as s:
+        s["result"] = pnp_only(det.corners)
+    with timer.stage("mekf") as s:
+        s["result"] = mekf_jit(obs, state0)
+    for line in timer.report().splitlines():
+        print(f"# {line}")
+
+    from aruco_slam_tpu.bench.pipeline import flops_metrics, flops_of
+    flops = flops_of(lambda im, s: e2e(im, s)[1], images, state0)
+    row = {
         "metric": "e2e_image_to_pose_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "resolution": "1920x1080",
-    }))
+        **flops_metrics(flops, dt),
+    }
+    for name in ("detect", "pnp", "mekf"):
+        if name in timer.totals:
+            row[f"{name}_ms_per_frame"] = round(
+                1e3 * timer.totals[name] / t, 4)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -95,14 +95,17 @@ def main(argv=None) -> None:
     _, est = jax.block_until_ready(single(state0, corners_d, mask_d))
     ate = ate_rmse(np.asarray(est[:, :3]), traj.cam_t)
 
-    from aruco_slam_tpu.bench.pipeline import time_on_device
+    from aruco_slam_tpu.bench.pipeline import (
+        flops_metrics, flops_of, time_on_device)
     dt = time_on_device(pipeline, state0, corners_d, mask_d,
                         reps=args.reps)
     single_fps = args.frames / dt
-    dt = time_on_device(
-        jax.vmap(pipeline, in_axes=(None, 0, 0)), state0, corners_b,
-        mask_b, reps=max(1, args.reps - 1))
+    batched = jax.vmap(pipeline, in_axes=(None, 0, 0))
+    dt = time_on_device(batched, state0, corners_b, mask_b,
+                        reps=max(1, args.reps - 1))
     fps = args.batch * args.frames / dt
+    flop_row = flops_metrics(
+        flops_of(batched, state0, corners_b, mask_b), dt)
 
     # offline smoothing at the same scale (north-star config 3): full
     # batch LM with Schur-eliminated landmarks over every pose/factor
@@ -141,6 +144,7 @@ def main(argv=None) -> None:
         "n_factors": nfac,
         "mean_visible": round(float(visible.mean()), 1),
         "state_dim": fcfg.err_dim,
+        **flop_row,
     }))
 
 

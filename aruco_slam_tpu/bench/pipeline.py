@@ -36,6 +36,55 @@ def time_on_device(pipe_fn, state, corners, mask, reps: int) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+# bf16 dense peak per JAX device (MXU). f32 ("highest" precision)
+# matmuls run at ~1/2 to 1/3 of this depending on generation; MFU here
+# is reported against the bf16 peak so it is a conservative bound.
+_PEAK_BF16 = {
+    "TPU v2": 22.5e12,       # per core (jax device = core on v2/v3)
+    "TPU v3": 61.25e12,
+    "TPU v4": 137.5e12,      # per jax device (megacore chip = 275/2)
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 229.5e12,     # per core
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops() -> float | None:
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_BF16.items():
+        if kind.lower().startswith(k.lower()):
+            return v
+    return None
+
+
+def flops_of(fn, *args) -> float | None:
+    """Static FLOP count of one jitted call, from XLA's compiled cost
+    analysis — makes every bench's 'fast' auditable as achieved
+    FLOP/s vs chip peak."""
+    import jax
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):   # some backends: one dict/device
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def flops_metrics(flops: float | None, seconds: float) -> dict:
+    """{gflops_per_s, mfu_pct} fields for a bench JSON row."""
+    if not flops or seconds <= 0:
+        return {}
+    out = {"gflops_per_s": round(flops / seconds / 1e9, 2)}
+    peak = chip_peak_flops()
+    if peak:
+        out["mfu_pct"] = round(100.0 * flops / seconds / peak, 3)
+    return out
+
+
 def make_pipeline(cam, marker_size: float, fcfg, chunk: int = 16,
                   reproj_gate: float = 3.0):
     """Returns pipeline(state, corners_seq (T,C,4,2), mask_seq (T,C))

@@ -85,15 +85,17 @@ def main() -> None:
         jnp.float32)
     mask_b = jnp.broadcast_to(mask_d, (BATCH,) + mask.shape)
 
-    from aruco_slam_tpu.bench.pipeline import time_on_device
+    from aruco_slam_tpu.bench.pipeline import (
+        flops_metrics, flops_of, time_on_device)
 
     single_fn = make_pipeline(fcfg)
     batched_fn = jax.vmap(make_pipeline(fcfg_b), in_axes=(None, 0, 0))
     dt = time_on_device(single_fn, state0, corners_d, mask_d, reps=8)
     single_fps = FRAMES / dt
-    dt = time_on_device(batched_fn, state0, corners_b, mask_b, reps=2)
-    batched_fps = BATCH * FRAMES / dt
+    dtb = time_on_device(batched_fn, state0, corners_b, mask_b, reps=2)
+    batched_fps = BATCH * FRAMES / dtb
 
+    flops = flops_of(batched_fn, state0, corners_b, mask_b)
     print(json.dumps({
         "metric": "mekf_pipeline_fps_per_chip",
         "value": round(batched_fps, 1),
@@ -101,6 +103,7 @@ def main() -> None:
         "vs_baseline": round(batched_fps / REFERENCE_FPS, 2),
         "batch": BATCH,
         "single_stream_fps": round(single_fps, 1),
+        **flops_metrics(flops, dtb),
     }))
 
 
