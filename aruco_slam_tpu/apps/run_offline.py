@@ -39,6 +39,12 @@ def main(argv=None) -> None:
     p.add_argument("--calib", default=None,
                    help="directory with camera_matrix.npy + "
                         "dist_coeffs.npy (video input)")
+    p.add_argument("--ba-rotations", action="store_true",
+                   help="6-dof landmarks: smooth marker ORIENTATIONS "
+                        "too (graph/ba.py with_rotations; map records "
+                        "gain quaternion columns like the reference's "
+                        "rotation filter, reference "
+                        "filters/ekf_with_rotations.py:33-40)")
     p.add_argument("--viz-2d", action="store_true",
                    help="pass-2 replay through the 2D overlay with the "
                         "smoothed poses (reference "
@@ -83,7 +89,8 @@ def main(argv=None) -> None:
                        huber_delta=cfg.huber_delta,
                        meas_sigma_t=cfg.meas_sigma_t,
                        odom_sigma_t=cfg.odom_sigma_t,
-                       odom_sigma_rot=cfg.odom_sigma_rot)
+                       odom_sigma_rot=cfg.odom_sigma_rot,
+                       with_rotations=args.ba_rotations)
     state = init_graph(gcfg)
     t0 = time.perf_counter()
     for i in range(t):
@@ -92,7 +99,9 @@ def main(argv=None) -> None:
         # first pass (reference main/run_offline.py:86-94); batch LM
         # from the raw zero-motion init stalls far from the optimum
         state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
-                          jnp.asarray(mask[i]))
+                          jnp.asarray(mask[i]),
+                          jnp.asarray(q_cl[i])
+                          if args.ba_rotations else None)
         state, _ = optimize_window(gcfg, state, window=cfg.window,
                                    iters=cfg.window_iters)
     state, cost = batch_optimize(gcfg, state, iters=cfg.batch_iters)
@@ -117,7 +126,13 @@ def main(argv=None) -> None:
     ids = np.where(active)[0]
     cov = np.asarray(landmark_covariances(gcfg, state))
     unc = np.diagonal(cov, axis1=-2, axis2=-1)
-    save_map(cfg.map_file, ids, np.asarray(state.lm)[ids], unc[ids])
+    lm_out = np.asarray(state.lm)
+    if args.ba_rotations:
+        # 7-column records [xyz, quat wxyz] — the layout the
+        # reference's rotation filter persists (its 10-dim landmark
+        # block, reference filters/ekf_with_rotations.py:38)
+        lm_out = np.concatenate([lm_out, np.asarray(state.lm_q)], 1)
+    save_map(cfg.map_file, ids, lm_out[ids], unc[ids])
     print(f"wrote {cfg.trajectory_file} ({t} poses), "
           f"{cfg.map_file} ({len(ids)} landmarks)")
     if src is not None and src.has("gt_cam_t"):

@@ -133,9 +133,21 @@ def _connected_components(fg: jnp.ndarray, iters: int,
     ops/pallas_cc.flood_labels for the opening stencil block, which
     keeps the label image resident in VMEM across rounds. The scans
     stay in XLA either way.
+
+    The outermost 1-px ring is treated as background in every mode:
+    it is what lets the Pallas kernel run maskless (roll wraps land on
+    background — see pallas_cc._flood_kernel) and it keeps the XLA and
+    Pallas paths bit-identical. Markers lose at most one
+    labeling-resolution pixel at the frame edge, within the slack the
+    subpixel refinement already absorbs.
     """
     h, w = fg.shape
     big = h * w
+    edge_r = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % (h - 1)
+              == 0)
+    edge_c = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % (w - 1)
+              == 0)
+    fg = fg & ~edge_r & ~edge_c
 
     def prop(_, labels):
         # separable 3x3 box min (vertical then horizontal pass) — the
@@ -416,7 +428,8 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
             crop = img[: hl * ds, : wl * ds]
             # reduce_window pools keep the natural (8, 128) tiling; the
             # reshape-to-(hl, ds, wl, ds) form forces a relayout of the
-            # 2-MP image before every reduction
+            # 2-MP image before every reduction (measured 2x slower for
+            # the whole fused detector, despite winning in isolation)
             small_min = jax.lax.reduce_window(
                 crop, jnp.inf, jax.lax.min, (ds, ds), (ds, ds),
                 "VALID")
@@ -425,20 +438,32 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
                 * (1.0 / (ds * ds))
             pools[ds] = (hl, wl, small_min, small_avg)
         hl, wl, small_min, small_avg = pools[ds]
-        big = hl * wl
-        # area gates are defined at the coarsest pass's resolution and
-        # scaled to this pass's pixel size
-        scale2 = (base_ds // ds) ** 2
-        min_area = cfg.min_area * scale2
-        max_area = int(cfg.max_area_frac * (h // base_ds)
-                       * (w // base_ds)) * scale2
+        bg_label = hl * wl
         win_l = max(3, wf // ds) | 1  # odd, at labeling resolution
         mean = _box_mean(small_avg, win_l)
         fg = (small_min < (mean - cfg.thresh_c)) \
             & (small_avg < (mean - 0.5 * cfg.thresh_c))
+        # the VMEM-resident flood holds fg + labels + stencil
+        # temporaries on the kernel stack: the fine-downscale pass at
+        # 1080p (518k px -> 17 MB) exceeds the 16 MB scoped VMEM
+        # budget, so large passes use the XLA stencil loop (measured
+        # at parity there anyway — the fused batched loop is
+        # bandwidth-bound, pallas_cc.py notes)
+        pm = pallas_mode if bg_label <= 300_000 else "off"
         labels = _connected_components(fg, cfg.prop_iters,
                                        scan_rounds=cfg.scan_rounds,
-                                       pallas_mode=pallas_mode)
+                                       pallas_mode=pm)
+
+        # Fine-downscale passes exist to SEPARATE components the
+        # coarse min-pool bridges; once labeled, everything downstream
+        # (areas, candidate masks, quad seeds) runs on the label image
+        # SUBSAMPLED back to the coarsest grid — label equality
+        # survives strided subsampling, the sort shrinks 4x, the
+        # (K, h, w) mask stack shrinks 4x, and the subpixel refinement
+        # absorbs the coarser quad seed. Measured: the ds=2 pass costs
+        # 4.7 ms/frame at 1080p full-grid vs ~1.2 subsampled.
+        sub = base_ds // ds
+        labs = labels[::sub, ::sub] if sub > 1 else labels
 
         # 3. component areas -> top-K candidates. Sort-based
         # histogram: sort the labels, find run starts, get each run's
@@ -446,31 +471,30 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
         # no gathers). The obvious scatter-add histogram
         # (zeros.at[labels].add(1)) costs ~1.2 ms/frame at 1080p on
         # TPU — 4x the price of the sort.
-        flat = labels.reshape(-1)
-        s_lab = jnp.sort(flat)                  # background (=big) last
-        idx = jnp.arange(big, dtype=jnp.int32)
+        n = labs.size
+        max_area = int(cfg.max_area_frac * n)
+        s_lab = jnp.sort(labs.reshape(-1))      # background last
+        idx = jnp.arange(n, dtype=jnp.int32)
         start = jnp.concatenate(
             [jnp.ones(1, bool), s_lab[1:] != s_lab[:-1]])
-        start_pos = jnp.where(start, idx, big)
+        start_pos = jnp.where(start, idx, n)
         after = jnp.concatenate(
-            [start_pos[1:], jnp.asarray([big], jnp.int32)])
+            [start_pos[1:], jnp.asarray([n], jnp.int32)])
         next_start = jax.lax.cummin(after, reverse=True)
         cnt = jnp.where(start, next_start - idx, 0)
         score = jnp.where(
-            (s_lab < big) & (cnt >= min_area) & (cnt <= max_area),
-            cnt, 0)
+            (s_lab < bg_label) & (cnt >= cfg.min_area)
+            & (cnt <= max_area), cnt, 0)
         top_score, pos = jax.lax.top_k(score, k)
         roots = s_lab[pos]                      # K-element gather only
         cand_ok = top_score > 0
 
-        # 4. masks + quad corners (low res), lifted to full res;
-        # scores normalized to the coarsest resolution so dedup
-        # comparisons across passes are fair
-        masks = labels[None, :, :] == roots[:, None, None]
+        # 4. masks + quad corners (coarse grid), lifted to full res
+        masks = labs[None, :, :] == roots[:, None, None]
         masks = masks & cand_ok[:, None, None]
         quads = _quad_corners(masks)               # (K, 4, 2)
-        per_pass.append((quads * ds + (ds - 1) / 2.0,
-                         top_score // scale2, cand_ok))
+        per_pass.append((quads * base_ds + (ds - 1) / 2.0,
+                         top_score, cand_ok))
 
     quads_full = jnp.concatenate([p[0] for p in per_pass])  # (P·K,4,2)
     top_score = jnp.concatenate([p[1] for p in per_pass])

@@ -39,8 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 def _flood_kernel(iters: int, fg_ref, out_ref):
     """One program: `iters` rounds of 8-connected min propagation.
 
-    fg_ref:  (h, w) int32, nonzero = foreground
+    fg_ref:  (h, w) int32, nonzero = foreground with an EMPTY 1-px
+             border (the caller clears it — _connected_components)
     out_ref: (h, w) int32 labels; background = h*w
+
+    The empty border is what keeps this kernel inside the 16 MB scoped
+    VMEM budget at fine labeling resolutions: every pltpu.roll wrap
+    lands on a background row/column whose output is BIG regardless,
+    so no per-edge iota masks need to live across the loop. (The
+    masked form held fg + labels + 2 iotas + 4 edge masks resident —
+    ~17 MB at 540x960 — and Mosaic refused to compile it.)
     """
     h, w = fg_ref.shape
     big = jnp.int32(h * w)
@@ -48,20 +56,14 @@ def _flood_kernel(iters: int, fg_ref, out_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     labels = jnp.where(fg, row * w + col, big)
-    # rows/cols that receive wrapped values from pltpu.roll and must
-    # be reset to the BIG border semantics
-    top = row == 0
-    bot = row == h - 1
-    left = col == 0
-    right = col == w - 1
 
     def body(_, labels):
         # pltpu.roll only takes non-negative shifts; h-1 == -1 (mod h)
-        down = jnp.where(top, big, pltpu.roll(labels, 1, 0))
-        up = jnp.where(bot, big, pltpu.roll(labels, h - 1, 0))
+        down = pltpu.roll(labels, 1, 0)
+        up = pltpu.roll(labels, h - 1, 0)
         v = jnp.minimum(labels, jnp.minimum(up, down))
-        rgt = jnp.where(left, big, pltpu.roll(v, 1, 1))
-        lft = jnp.where(right, big, pltpu.roll(v, w - 1, 1))
+        rgt = pltpu.roll(v, 1, 1)
+        lft = pltpu.roll(v, w - 1, 1)
         m = jnp.minimum(v, jnp.minimum(lft, rgt))
         return jnp.where(fg, m, big)
 

@@ -290,6 +290,11 @@ def test_flood_converges_on_marker_shapes():
                     cv2.circle(fg, tuple(np.round(p).astype(int)),
                                max(1, int(size / 14)), 0, -1)
             fgb = fg.astype(bool)
+            # _connected_components treats the outermost 1-px ring as
+            # background (the maskless-Pallas contract) — the oracle
+            # must see the same input
+            fgb[0, :] = fgb[-1, :] = False
+            fgb[:, 0] = fgb[:, -1] = False
             lab = np.asarray(detect._connected_components(
                 jnp.asarray(fgb), CFG.prop_iters,
                 scan_rounds=CFG.scan_rounds, pallas_mode="off"))
