@@ -344,6 +344,11 @@ def main(argv=None) -> None:
     p.add_argument("--map", dest="map_file", default="outputs/map.txt")
     p.add_argument("--viz-2d", action="store_true")
     p.add_argument("--viz-3d", action="store_true")
+    p.add_argument("--display", action="store_true",
+                   help="live interactive 2D window, 'q' quits (the "
+                        "reference's cv2.imshow loop, reference "
+                        "viewers/viewer_2d.py:103-106); falls back to "
+                        "headless export when no GUI exists")
     p.add_argument("--viz-dir", default="outputs/images")
     p.add_argument("--export-video", action="store_true",
                    help="also write {viz_dir}/2d.mp4 / 3d.mp4 (the "
@@ -438,7 +443,7 @@ def main(argv=None) -> None:
         times, t_cl, q_cl, mask, cam, amb = load_observations(src, cfg)
 
     from aruco_slam_tpu.apps import sinks
-    viewers = sinks.build_viewers(cfg, cam, src)
+    viewers = sinks.build_viewers(cfg, cam, src, display=args.display)
 
     if cfg.filter in ("mekf", "mekf_rotations"):
         cam_traj, active, lm, unc = run_mekf(

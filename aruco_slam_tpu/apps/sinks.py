@@ -95,15 +95,66 @@ class Viewer3DSink:
         self.v.close()
 
 
+class LiveDisplaySink:
+    """Opt-in interactive window (the reference's cv2.imshow loop with
+    'q' to quit, reference viewers/viewer_2d.py:103-106). Wraps a
+    Viewer2DSink and shows each overlay; on headless builds (no GUI
+    backend) it disables itself after the first frame with a warning
+    instead of killing the run."""
+
+    def __init__(self, inner: Viewer2DSink) -> None:
+        import os
+        import sys
+
+        self.inner = inner
+        # cv2's Qt backend ABORTS the process (not an exception) when
+        # no display server exists, so probe the environment first
+        self.enabled = bool(os.environ.get("DISPLAY")
+                            or os.environ.get("WAYLAND_DISPLAY")
+                            or sys.platform in ("darwin", "win32"))
+        if not self.enabled:
+            print("no display server (DISPLAY unset): --display "
+                  "falls back to headless PNG/mp4 export")
+        self.quit = False
+
+    def view_frame(self, cam_pose, pts, det) -> None:
+        frame = (self.inner.provider(self.inner.idx)
+                 if self.inner.provider else self.inner.blank)
+        img = self.inner.v.view(frame, cam_pose, pts, det)
+        self.inner.idx += 1
+        if not self.enabled or self.quit:
+            return
+        try:
+            import cv2
+            cv2.imshow("aruco_slam_tpu", img[..., ::-1])
+            if (cv2.waitKey(1) & 0xFF) == ord("q"):
+                self.quit = True
+                cv2.destroyAllWindows()
+        except Exception as e:  # headless build / no display
+            print(f"live display unavailable ({e}); continuing "
+                  "headless")
+            self.enabled = False
+
+    def close(self) -> None:
+        self.inner.close()
+        if self.enabled and not self.quit:
+            try:
+                import cv2
+                cv2.destroyAllWindows()
+            except Exception:
+                pass
+
+
 def build_viewers(cfg: SlamAppConfig, cam, src=None,
-                  frame_shape=(1080, 1920)) -> list:
+                  frame_shape=(1080, 1920), display: bool = False
+                  ) -> list:
     viewers = []
     if cfg.viz_3d:
         viewers.append(Viewer3DSink(cfg))
-    if cfg.viz_2d:
-        viewers.append(Viewer2DSink(cam, cfg,
-                                    make_frame_provider(cfg, src),
-                                    frame_shape))
+    if cfg.viz_2d or display:
+        v2 = Viewer2DSink(cam, cfg, make_frame_provider(cfg, src),
+                          frame_shape)
+        viewers.append(LiveDisplaySink(v2) if display else v2)
     return viewers
 
 

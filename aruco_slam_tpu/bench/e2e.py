@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     p.add_argument("--markers", type=int, default=10)
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--platform", default=None)
+    p.add_argument("--detector", default="robust",
+                   choices=["robust", "fast"],
+                   help="robust = the default 3-pass (window x scale) "
+                        "candidate sweep (survives blur/noise/clutter"
+                        "); fast = single coarse pass for clean scenes")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -58,6 +63,8 @@ def main(argv=None) -> None:
 
     capacity = 64
     dcfg = detect.DetectorConfig(capacity=capacity)
+    if args.detector == "fast":
+        dcfg = dcfg._replace(passes=((15, 4),))
     fcfg = MekfConfig(capacity=capacity)
     state0 = init_state(fcfg)
     marker_size = scene.marker_size
@@ -140,6 +147,7 @@ def main(argv=None) -> None:
         "value": round(fps, 1),
         "unit": "frames/s",
         "resolution": "1920x1080",
+        "detector": f"{args.detector}({len(dcfg.passes)} passes)",
         **flops_metrics(flops, dt),
     }
     for name in ("detect", "pnp", "mekf"):
