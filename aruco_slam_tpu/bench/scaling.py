@@ -73,24 +73,10 @@ def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
     import jax
     import jax.numpy as jnp
 
-    from aruco_slam_tpu.bench import synthetic
-    from aruco_slam_tpu.graph import GraphConfig, add_frame, init_graph
     from aruco_slam_tpu.parallel import make_mesh, sharded_batch_optimize
     from aruco_slam_tpu.parallel.sharded_ba import _shard_capacity
 
-    cfg = GraphConfig(max_poses=frames + 2, max_landmarks=markers,
-                      max_factors=frames * (markers // 2),
-                      meas_sigma_t=0.01, odom_sigma_t=1.0,
-                      odom_sigma_rot=1.0)
-    scene = synthetic.make_wall_scene(num_markers=markers, seed=0)
-    traj = synthetic.make_orbit_trajectory(num_frames=frames)
-    obs = synthetic.observe_poses(scene, traj, cfg.max_landmarks,
-                                  noise_t=0.005, fov_limit=0.9)
-    state = init_graph(cfg)
-    for i in range(frames):
-        state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
-                          jnp.asarray(obs.mask[i]))
-
+    cfg, state = _build_problem(frames, markers)
     tcap = cfg.max_poses
     t6 = tcap * 6
     itemsize = jnp.dtype(cfg.dtype).itemsize
@@ -138,13 +124,107 @@ def run(mesh_sizes, frames=256, markers=32, iters=10, reps=3):
     return results
 
 
+def _build_problem(frames, markers):
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.bench import synthetic
+    from aruco_slam_tpu.graph import GraphConfig, add_frame, init_graph
+
+    cfg = GraphConfig(max_poses=frames + 2, max_landmarks=markers,
+                      max_factors=frames * (markers // 2),
+                      meas_sigma_t=0.01, odom_sigma_t=1.0,
+                      odom_sigma_rot=1.0)
+    scene = synthetic.make_wall_scene(num_markers=markers, seed=0)
+    traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    obs = synthetic.observe_poses(scene, traj, cfg.max_landmarks,
+                                  noise_t=0.005, fov_limit=0.9)
+    state = init_graph(cfg)
+    for i in range(frames):
+        state = add_frame(cfg, state, jnp.asarray(obs.t_cl[i]),
+                          jnp.asarray(obs.mask[i]))
+    return cfg, state
+
+
+def run_worker(frames, markers, iters, reps, local_devices):
+    """One process of a multi-process run. The SLAM_* env vars carry
+    the coordinator/rank (parallel/dist.initialize reads them); this
+    is exactly the one-process-per-host launch shape of a TPU pod —
+    only the transport (Gloo here, ICI/DCN there) differs."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from aruco_slam_tpu.parallel import dist
+    dist.initialize(local_devices=local_devices)
+    from aruco_slam_tpu.parallel import make_mesh, \
+        sharded_batch_optimize
+
+    cfg, state = _build_problem(frames, markers)
+    mesh = make_mesh()  # global: all devices across all processes
+    out, _ = sharded_batch_optimize(cfg, state, mesh, iters=iters)
+    jax.block_until_ready(out.pose_t)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, _ = sharded_batch_optimize(cfg, state, mesh, iters=iters)
+        jax.block_until_ready(out.pose_t)
+    dt = (time.perf_counter() - t0) / reps
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "devices": jax.device_count(),
+            "processes": jax.process_count(),
+            "seconds": round(dt, 4),
+            "note": "multi-PROCESS run (Gloo on CPU): validates the "
+                    "pod launch shape + cross-process collectives; "
+                    "efficiency numbers need real chips"}),
+            flush=True)
+
+
+def run_multiprocess(nproc, frames, markers, iters, reps,
+                     local_devices=2, port=29777):
+    import os
+    import subprocess
+    import sys
+
+    procs = []
+    for pid in range(nproc):
+        env = {k: v for k, v in os.environ.items()
+               if k != "XLA_FLAGS"}
+        env.update(SLAM_COORDINATOR=f"127.0.0.1:{port}",
+                   SLAM_NUM_PROCESSES=str(nproc),
+                   SLAM_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "aruco_slam_tpu.bench.scaling",
+             "--worker", "--frames", str(frames),
+             "--markers", str(markers), "--iters", str(iters),
+             "--reps", str(reps),
+             "--local-devices", str(local_devices)], env=env))
+    rc = [p.wait() for p in procs]
+    if any(rc):
+        raise SystemExit(f"worker exit codes {rc}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--platform", default=None)
     p.add_argument("--sizes", default="1,2,4,8")
     p.add_argument("--frames", type=int, default=256)
+    p.add_argument("--markers", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--processes", type=int, default=0,
+                   help="launch N OS processes joined with "
+                        "jax.distributed (the multi-host shape) "
+                        "instead of the single-process device sweep")
+    p.add_argument("--local-devices", type=int, default=2)
+    p.add_argument("--worker", action="store_true",
+                   help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+    if args.worker:
+        run_worker(args.frames, args.markers, args.iters, args.reps,
+                   args.local_devices)
+        return
+    if args.processes:
+        run_multiprocess(args.processes, args.frames, args.markers,
+                         args.iters, args.reps, args.local_devices)
+        return
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
