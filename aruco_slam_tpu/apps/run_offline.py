@@ -24,7 +24,8 @@ from aruco_slam_tpu.graph import (
 from aruco_slam_tpu.io import TrajectoryWriter, save_map
 from aruco_slam_tpu.io.sources import NpzSource
 from aruco_slam_tpu.apps.run_slam import (
-    VIDEO_SUFFIXES, load_observations, load_video_observations)
+    load_observations, load_video_observations)
+from aruco_slam_tpu.io.sources import is_video
 
 
 def main(argv=None) -> None:
@@ -71,8 +72,7 @@ def main(argv=None) -> None:
                         viz_2d=args.viz_2d, viz_3d=args.viz_3d,
                         viz_dir=args.viz_dir,
                         export_video=args.export_video)
-    from pathlib import Path
-    if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
+    if is_video(cfg.input):
         src = None
         times, t_cl, q_cl, mask, cam, _amb = load_video_observations(
             cfg, args.calib)

@@ -35,10 +35,9 @@ from aruco_slam_tpu.graph import (
     GraphConfig, add_frame, init_graph, landmark_covariances,
     marginalize_poses, optimize_window)
 from aruco_slam_tpu.io import TrajectoryWriter, save_map
-from aruco_slam_tpu.io.sources import NpzSource, VideoSource
+from aruco_slam_tpu.io.sources import (
+    VIDEO_SUFFIXES, NpzSource, VideoSource, is_video)
 from aruco_slam_tpu.ops import pnp
-
-VIDEO_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv"}
 
 
 def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
@@ -53,7 +52,8 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     zero-padded to the chunk size so the whole video runs one compiled
     program (a new batch shape would recompile the detector)."""
     from aruco_slam_tpu.ops import detect
-    dcfg = detect.DetectorConfig(capacity=cfg.capacity)
+    dcfg = detect.DetectorConfig(capacity=cfg.capacity,
+                                 dict_name=cfg.dict_name)
     times, buf, outs = [], [], []
 
     def flush():
@@ -116,11 +116,15 @@ def load_video_observations(cfg: SlamAppConfig, calib_dir=None):
         first = next(it)
     except StopIteration:
         raise ValueError(f"{cfg.input}: no decodable frames") from None
-    from aruco_slam_tpu.io.native import PrefetchingFrameSource
-    pref = PrefetchingFrameSource(it, first[1].shape, capacity=16)
+    try:
+        from aruco_slam_tpu.io.native import PrefetchingFrameSource
+        rest = PrefetchingFrameSource(it, first[1].shape, capacity=16)
+    except RuntimeError as e:  # no C++ toolchain: plain iterator
+        print(f"decode prefetch unavailable ({e}); synchronous decode")
+        rest = it
     try:
         return _observations_from_frames(
-            itertools.chain([first], pref), cam, cfg)
+            itertools.chain([first], rest), cam, cfg)
     except ValueError as e:
         raise ValueError(f"{cfg.input}: {e}") from e
 
@@ -201,6 +205,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
             resume, (state, np.int64(0), np.zeros((1, 7), np.float32)))
         start = int(fdone)
         cam_traj[:start] = np.asarray(traj_prev)[:start]
+        for v in viewers:  # align frame providers with the skip
+            getattr(v, "skip_to", lambda i: None)(start)
         print(f"resumed from {resume} at frame {start}")
 
     def checkpoint(frame_done):
@@ -281,6 +287,8 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         start = int(fdone)
         head = np.asarray(head)[:start]
         num = int(state.num_poses)
+        for v in viewers:  # align frame providers with the skip
+            getattr(v, "skip_to", lambda i: None)(start)
         print(f"resumed from {resume} at frame {start}")
     traj_parts = []
 
@@ -371,6 +379,14 @@ def main(argv=None) -> None:
                    help="directory with camera_matrix.npy + "
                         "dist_coeffs.npy (video input; the reference's "
                         "calibration artifacts)")
+    p.add_argument("--dict", dest="dict_name", default=dflt.dict_name,
+                   help="marker dictionary for image inputs "
+                        "(dict_4x4_50 | dict_5x5_50 | dict_6x6_50 | "
+                        "apriltag_36h11)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace of the "
+                        "filter run to DIR (view with XProf/"
+                        "TensorBoard)")
     p.add_argument("--mekf-r", type=float, default=dflt.mekf_r)
     p.add_argument("--mekf-q-cam", type=float, default=dflt.mekf_q_cam)
     p.add_argument("--mekf-q-rot", type=float, default=dflt.mekf_q_rot)
@@ -432,9 +448,9 @@ def main(argv=None) -> None:
         mekf_precision=args.precision,
         gate_distance=args.gate_distance,
         huber_delta=args.huber_delta,
-        max_obs=args.max_obs)
-    from pathlib import Path
-    if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
+        max_obs=args.max_obs,
+        dict_name=args.dict_name)
+    if is_video(cfg.input):
         src = None
         times, t_cl, q_cl, mask, cam, amb = load_video_observations(
             cfg, args.calib)
@@ -445,18 +461,24 @@ def main(argv=None) -> None:
     from aruco_slam_tpu.apps import sinks
     viewers = sinks.build_viewers(cfg, cam, src, display=args.display)
 
-    if cfg.filter in ("mekf", "mekf_rotations"):
-        cam_traj, active, lm, unc = run_mekf(
-            cfg, times, t_cl, q_cl, mask, cam,
-            with_rotations=(cfg.filter == "mekf_rotations"),
-            viewers=viewers, load_map_file=args.load_map,
-            ambiguity=amb, ckpt_every=args.checkpoint_every,
-            ckpt_path=args.checkpoint, resume=args.resume)
-    else:
-        cam_traj, active, lm, unc = run_factorgraph(
-            cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
-            ckpt_every=args.checkpoint_every,
-            ckpt_path=args.checkpoint, resume=args.resume)
+    import contextlib
+    trace_ctx = contextlib.nullcontext()
+    if args.profile:
+        from aruco_slam_tpu.utils.profiling import device_trace
+        trace_ctx = device_trace(args.profile)
+    with trace_ctx:
+        if cfg.filter in ("mekf", "mekf_rotations"):
+            cam_traj, active, lm, unc = run_mekf(
+                cfg, times, t_cl, q_cl, mask, cam,
+                with_rotations=(cfg.filter == "mekf_rotations"),
+                viewers=viewers, load_map_file=args.load_map,
+                ambiguity=amb, ckpt_every=args.checkpoint_every,
+                ckpt_path=args.checkpoint, resume=args.resume)
+        else:
+            cam_traj, active, lm, unc = run_factorgraph(
+                cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
+                ckpt_every=args.checkpoint_every,
+                ckpt_path=args.checkpoint, resume=args.resume)
 
     for v in viewers:
         v.close()

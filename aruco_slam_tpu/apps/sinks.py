@@ -20,16 +20,14 @@ import jax.numpy as jnp
 from aruco_slam_tpu.config import SlamAppConfig
 from aruco_slam_tpu.core import quaternion as quat_np
 
-VIDEO_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv"}
-
-
 def make_frame_provider(cfg: SlamAppConfig, src=None):
     """Callable i -> grayscale frame (H, W) uint8, or None when the
     input carries no imagery (pose-/corner-level npz)."""
     if src is not None and src.has("images"):
         imgs = src["images"]
         return lambda i: imgs[i]
-    if Path(cfg.input).suffix.lower() in VIDEO_SUFFIXES:
+    from aruco_slam_tpu.io.sources import is_video
+    if is_video(cfg.input):
         from aruco_slam_tpu.io.sources import VideoSource
 
         state = {"it": None, "next": 0}
@@ -64,10 +62,16 @@ class Viewer2DSink:
         self.blank = np.zeros(frame_shape, np.uint8)
         self.idx = 0
 
-    def view_frame(self, cam_pose, pts, det) -> None:
+    def view_frame(self, cam_pose, pts, det) -> np.ndarray:
         frame = self.provider(self.idx) if self.provider else self.blank
-        self.v.view(frame, cam_pose, pts, det)
+        img = self.v.view(frame, cam_pose, pts, det)
         self.idx += 1
+        return img
+
+    def skip_to(self, i: int) -> None:
+        """Align the frame provider with a resumed run's first frame
+        (--resume starts the filter loop mid-sequence)."""
+        self.idx = i
 
     def close(self) -> None:
         self.v.close()
@@ -118,10 +122,7 @@ class LiveDisplaySink:
         self.quit = False
 
     def view_frame(self, cam_pose, pts, det) -> None:
-        frame = (self.inner.provider(self.inner.idx)
-                 if self.inner.provider else self.inner.blank)
-        img = self.inner.v.view(frame, cam_pose, pts, det)
-        self.inner.idx += 1
+        img = self.inner.view_frame(cam_pose, pts, det)
         if not self.enabled or self.quit:
             return
         try:
@@ -134,6 +135,9 @@ class LiveDisplaySink:
             print(f"live display unavailable ({e}); continuing "
                   "headless")
             self.enabled = False
+
+    def skip_to(self, i: int) -> None:
+        self.inner.skip_to(i)
 
     def close(self) -> None:
         self.inner.close()

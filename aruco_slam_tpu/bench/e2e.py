@@ -147,7 +147,7 @@ def main(argv=None) -> None:
         "value": round(fps, 1),
         "unit": "frames/s",
         "resolution": "1920x1080",
-        "detector": f"{args.detector}({len(dcfg.passes)} passes)",
+        "detector": args.detector,
         **flops_metrics(flops, dt),
     }
     for name in ("detect", "pnp", "mekf"):

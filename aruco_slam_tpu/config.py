@@ -23,6 +23,10 @@ class SlamAppConfig:
     filter: str = "mekf"          # mekf | mekf_rotations | factorgraph
     marker_size: float = 0.16     # meters (reference base_filter.py:178)
     capacity: int = 64
+    # marker dictionary for image-domain inputs (reference
+    # base_filter.py:82 hardcodes DICT_5X5_50; calibration uses
+    # AprilTag 36h11) — ops/dictionary.py names
+    dict_name: str = "dict_5x5_50"
     # camera fallback (the reference's calibration artifacts,
     # calibration/camera_matrix.npy + dist_coeffs.npy)
     camera_matrix: np.ndarray = dataclasses.field(

@@ -55,6 +55,16 @@ def save_npz(path, **arrays) -> None:
     np.savez_compressed(path, **arrays)
 
 
+# container extensions routed to VideoSource — ONE source of truth for
+# the drivers (apps/run_slam.py, run_offline.py) and the viz frame
+# providers (apps/sinks.py)
+VIDEO_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv"}
+
+
+def is_video(path) -> bool:
+    return Path(path).suffix.lower() in VIDEO_SUFFIXES
+
+
 class VideoSource:
     """Grayscale frames from a video file (host-side decode).
 

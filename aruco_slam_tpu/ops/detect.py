@@ -49,7 +49,7 @@ class DetectorConfig(NamedTuple):
     max_candidates: int = 32      # K quad candidates per frame
     downscale: int = 4            # component-labeling resolution
     thresh_win: int = 15          # box window (full res), odd
-    # candidate sweep: (threshold window FULL-Res px, downscale) passes,
+    # candidate sweep: (threshold window FULL-res px, downscale) passes,
     # each thresholded+labeled+harvested independently and the
     # candidate lists merged — the dense analog of OpenCV's
     # adaptiveThreshWinSize 3..30 sweep (reference
@@ -57,8 +57,12 @@ class DetectorConfig(NamedTuple):
     # gradients/vignetting; large windows keep blurred low-contrast
     # borders; the fine-downscale pass separates markers from adjacent
     # dark clutter that the coarse min-pool would bridge (a ds-px gap
-    # is one low-res pixel). () = single (thresh_win, downscale) pass.
-    passes: tuple[tuple[int, int], ...] = ((15, 4), (45, 4), (15, 2))
+    # is one low-res pixel). None = auto: derived from thresh_win and
+    # downscale as ((w, d), (3w, d)) + ((w, d//2) when d//2 >= 2) —
+    # ((15,4),(45,4),(15,2)) at the defaults — so tuning
+    # thresh_win/downscale keeps working. An explicit tuple is used
+    # verbatim; ((thresh_win, downscale),) gives the fast single pass.
+    passes: tuple[tuple[int, int], ...] | None = None
     thresh_c: float = 7.0         # threshold offset (uint8 counts)
     min_area: int = 16            # component pixels at low res
     max_area_frac: float = 0.05
@@ -418,7 +422,13 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
     use_pallas = on_tpu if cfg.pallas is None else cfg.pallas
     pallas_mode = ("off" if not use_pallas
                    else ("tpu" if on_tpu else "interpret"))
-    passes = cfg.passes or ((cfg.thresh_win, cfg.downscale),)
+    if cfg.passes:
+        passes = cfg.passes
+    else:  # auto sweep honoring the thresh_win/downscale knobs
+        w0, d0 = cfg.thresh_win, cfg.downscale
+        passes = ((w0, d0), (3 * w0, d0))
+        if d0 // 2 >= 2:
+            passes = passes + ((w0, d0 // 2),)
     base_ds = max(ds for _, ds in passes)
     pools: dict[int, tuple] = {}
     per_pass = []

@@ -96,8 +96,14 @@ def make_mesh2d(n_data: int | None = None, n_kf: int | None = None,
         n_kf = n // jax.process_count() if n_data is None \
             else n // n_data
     if n_data is None:
-        n_data = n // n_kf
+        n_data = n // n_kf if n_kf else 0
+    if n_data < 1 or n_kf < 1 or n_data * n_kf > n:
+        raise ValueError(
+            f"make_mesh2d: {n_data}x{n_kf} mesh does not fit "
+            f"{n} devices")
     if n_data * n_kf != n:
+        print(f"make_mesh2d: {n_data}x{n_kf} uses "
+              f"{n_data * n_kf}/{n} devices")
         devices = devices[: n_data * n_kf]
     arr = np.array(devices).reshape(n_data, n_kf)
     return Mesh(arr, ("data", "kf"))

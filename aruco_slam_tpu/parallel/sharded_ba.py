@@ -55,14 +55,23 @@ def _state_specs(axis: str) -> GraphState:
         prior_lm_mean=P(axis))
 
 
-def _shard_capacity(cfg: GraphConfig, state: GraphState, n: int) -> int:
-    """Max factors any landmark shard holds, lane-aligned — the
-    per-device factor capacity a balanced repartition needs."""
+def _shard_assignment(cfg: GraphConfig, state: GraphState, n: int):
+    """(shard id per factor (-1 = invalid), landmarks per shard) —
+    host-side values shared by capacity sizing and repartitioning (one
+    device->host pull of the factor arrays, not two)."""
     lcap2 = -(-cfg.max_landmarks // n) * n
     lm_per = lcap2 // n
     f_lm = np.asarray(state.f_lm)
     f_valid = np.asarray(state.f_valid)
-    shard = np.where(f_valid, f_lm // lm_per, -1)
+    return np.where(f_valid, f_lm // lm_per, -1), lm_per
+
+
+def _shard_capacity(cfg: GraphConfig, state: GraphState, n: int,
+                    shard=None) -> int:
+    """Max factors any landmark shard holds, lane-aligned — the
+    per-device factor capacity a balanced repartition needs."""
+    if shard is None:
+        shard, _ = _shard_assignment(cfg, state, n)
     counts = np.bincount(shard[shard >= 0], minlength=n)[:n]
     return max(-(-int(counts.max()) // 8) * 8, 8)
 
@@ -84,13 +93,11 @@ def partition_by_landmark(cfg: GraphConfig, state: GraphState, n: int,
     """
     lcap = cfg.max_landmarks
     lcap2 = -(-lcap // n) * n
-    lm_per = lcap2 // n
 
     f_lm = np.asarray(state.f_lm)
-    f_valid = np.asarray(state.f_valid)
-    shard = np.where(f_valid, f_lm // lm_per, -1)
+    shard, lm_per = _shard_assignment(cfg, state, n)
     if f_shard is None:
-        f_shard = _shard_capacity(cfg, state, n)
+        f_shard = _shard_capacity(cfg, state, n, shard=shard)
     f2 = f_shard * n
 
     dest = np.full(f_lm.shape[0], -1, np.int64)

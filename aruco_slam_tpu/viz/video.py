@@ -32,6 +32,8 @@ def write_video(path, frames: list[np.ndarray] | np.ndarray,
         return
     except ImportError:
         pass
+    except Exception as e:  # present-but-broken cv2 (no mp4v encoder)
+        print(f"cv2 VideoWriter failed ({e}); trying imageio/pyav")
     import imageio.v3 as iio
     iio.imwrite(str(path), frames, fps=fps, plugin="pyav",
                 codec="libx264")
