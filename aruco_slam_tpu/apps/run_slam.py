@@ -248,7 +248,7 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
 
 def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                     viewers=(), ckpt_every: int = 0, ckpt_path=None,
-                    resume=None):
+                    resume=None, with_rotations: bool = False):
     t = len(times)
     budget = cfg.pose_budget
     if budget and budget < t + 2:
@@ -269,9 +269,11 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                        pixel_sigma=cfg.pixel_sigma,
                        focal_px=float(cam.fx),
                        marker_size=cfg.marker_size,
-                       huber_delta=cfg.huber_delta)
+                       huber_delta=cfg.huber_delta,
+                       with_rotations=with_rotations)
     state = init_graph(gcfg)
     t_cl_d = jnp.asarray(t_cl)
+    q_cl_d = jnp.asarray(q_cl) if with_rotations else None
     mask_d = jnp.asarray(mask)
     # pose count is deterministic (add_frame +1 until cap, marginalize
     # -drop), so it's tracked HOST-side: the frame loop dispatches
@@ -301,7 +303,8 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
 
     t0 = time.perf_counter()
     for i in range(start, t):
-        state = add_frame(gcfg, state, t_cl_d[i], mask_d[i])
+        state = add_frame(gcfg, state, t_cl_d[i], mask_d[i],
+                          None if q_cl_d is None else q_cl_d[i])
         num = min(num + 1, max_poses)
         state, _ = optimize_window(gcfg, state, window=cfg.window,
                                    iters=cfg.window_iters)
@@ -425,6 +428,10 @@ def main(argv=None) -> None:
                         "continues bit-exactly (tests/test_io_apps.py)")
     p.add_argument("--huber-delta", type=float, default=dflt.huber_delta,
                    help="robust BA loss delta (whitened); 0 = plain LS")
+    p.add_argument("--ba-rotations", action="store_true",
+                   help="factorgraph backend: 6-dof landmarks with "
+                        "orientation residuals (graph/ba.py "
+                        "with_rotations)")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -478,7 +485,8 @@ def main(argv=None) -> None:
             cam_traj, active, lm, unc = run_factorgraph(
                 cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
                 ckpt_every=args.checkpoint_every,
-                ckpt_path=args.checkpoint, resume=args.resume)
+                ckpt_path=args.checkpoint, resume=args.resume,
+                with_rotations=args.ba_rotations)
 
     for v in viewers:
         v.close()

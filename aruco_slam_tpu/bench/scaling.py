@@ -177,6 +177,35 @@ def run_worker(frames, markers, iters, reps, local_devices):
             flush=True)
 
 
+def run_fleet(n_data, n_kf, frames, markers, iters, reps):
+    """Bench the 2-D ('data','kf') mesh: a fleet of n_data independent
+    BA problems, each landmark-sharded over n_kf devices."""
+    import jax
+
+    from aruco_slam_tpu.parallel import (
+        make_mesh2d, sharded_fleet_optimize, stack_graphs)
+
+    cfg, state = _build_problem(frames, markers)
+    fleet = stack_graphs([state] * n_data)
+    mesh = make_mesh2d(n_data=n_data, n_kf=n_kf)
+    out, costs = sharded_fleet_optimize(cfg, fleet, mesh, iters=iters)
+    jax.block_until_ready(costs)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, costs = sharded_fleet_optimize(cfg, fleet, mesh,
+                                            iters=iters)
+        jax.block_until_ready(costs)
+    dt = (time.perf_counter() - t0) / reps
+    row = {"mesh": f"{n_data}x{n_kf} (data x kf)",
+           "problems": n_data, "seconds": round(dt, 4),
+           "problems_per_s": round(n_data / dt, 3)}
+    if jax.default_backend() == "cpu":
+        row["note"] = ("virtual CPU devices share host cores: "
+                       "validates the 2-D layout, not speedup")
+    print(json.dumps(row))
+    return row
+
+
 def run_multiprocess(nproc, frames, markers, iters, reps,
                      local_devices=2, port=29777):
     import os
@@ -214,6 +243,10 @@ def main(argv=None) -> None:
                         "jax.distributed (the multi-host shape) "
                         "instead of the single-process device sweep")
     p.add_argument("--local-devices", type=int, default=2)
+    p.add_argument("--fleet", default=None, metavar="DATAxKF",
+                   help="bench the 2-D mesh instead, e.g. --fleet 4x2 "
+                        "= 4 data-parallel problems, each landmark-"
+                        "sharded over 2 devices")
     p.add_argument("--worker", action="store_true",
                    help=argparse.SUPPRESS)
     args = p.parse_args(argv)
@@ -228,6 +261,11 @@ def main(argv=None) -> None:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.fleet:
+        n_data, n_kf = (int(v) for v in args.fleet.split("x"))
+        run_fleet(n_data, n_kf, args.frames, args.markers,
+                  args.iters, args.reps)
+        return
     sizes = [int(s) for s in args.sizes.split(",")]
     run(sizes, frames=args.frames, iters=args.iters)
 
