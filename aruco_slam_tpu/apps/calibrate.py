@@ -49,6 +49,11 @@ def main(argv=None) -> None:
     p.add_argument("--dict", dest="dict_name",
                    default=dictionary.DICT_5X5_50)
     p.add_argument("--out", default="calibration")
+    p.add_argument("--preview", type=int, default=0, metavar="N",
+                   help="write N undistorted preview PNGs to OUT/"
+                        "preview/ (the reference shows undistorted "
+                        "views after calibrating, reference "
+                        "calibration/charuco_calibration.py:80-95)")
     p.add_argument("--iters", type=int, default=60)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -115,6 +120,21 @@ def main(argv=None) -> None:
     print("camera matrix:\n", np.round(res.camera_matrix, 2))
     print("dist:", np.round(res.dist_coeffs, 4))
     print(f"wrote {out}/camera_matrix.npy, {out}/dist_coeffs.npy")
+
+    if args.preview:
+        import imageio.v3 as iio
+        from aruco_slam_tpu.core import camera as cam_mod
+        cam = cam_mod.CameraModel.from_matrix(
+            jnp.asarray(res.camera_matrix, jnp.float32),
+            jnp.asarray(res.dist_coeffs, jnp.float32))
+        pdir = out / "preview"
+        pdir.mkdir(parents=True, exist_ok=True)
+        und = jax.jit(lambda im: cam_mod.undistort_image(cam, im))
+        for i in range(min(args.preview, v)):
+            iio.imwrite(pdir / f"undistorted_{i:03d}.png",
+                        np.asarray(und(jnp.asarray(images[i]))))
+        print(f"wrote {min(args.preview, v)} undistorted previews "
+              f"to {pdir}/")
 
 
 if __name__ == "__main__":

@@ -103,3 +103,37 @@ def pixel_to_ray(cam: CameraModel, uv: jnp.ndarray,
                  iters: int = 8) -> jnp.ndarray:
     """Distorted pixel (..., 2) -> undistorted normalized coords (..., 2)."""
     return undistort(cam, pixel_to_normalized(cam, uv), iters=iters)
+
+
+def undistort_image(cam: CameraModel, img: jnp.ndarray) -> jnp.ndarray:
+    """Undistort a grayscale image (H, W) under `cam` — cv2.undistort's
+    remap (used by the reference to preview calibration quality,
+    reference calibration/charuco_calibration.py:80-95).
+
+    For every output pixel on the ideal pinhole grid, the distorted
+    SOURCE position is `distort` of its normalized coords (the forward
+    model — no iterative inversion needed in this direction), and the
+    value is bilinearly sampled there. Pixels whose source falls
+    outside the frame are 0, like cv2's default border.
+    """
+    h, w = img.shape
+    imgf = img.astype(jnp.float32)
+    vs = jnp.arange(h, dtype=jnp.float32)
+    us = jnp.arange(w, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(us, vs)
+    src = normalized_to_pixel(
+        cam, distort(cam, pixel_to_normalized(
+            cam, jnp.stack([uu, vv], -1))))
+    x, y = src[..., 0], src[..., 1]
+    inside = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    v00 = imgf[y0, x0]
+    v01 = imgf[y0, x0 + 1]
+    v10 = imgf[y0 + 1, x0]
+    v11 = imgf[y0 + 1, x0 + 1]
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    return jnp.where(inside, out, 0.0).astype(img.dtype)

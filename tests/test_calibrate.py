@@ -184,3 +184,30 @@ def test_charuco_interpolation_matches_cv2():
             assert err < 1.0, (i, cid, err)
             checked += 1
     assert checked > 30, checked
+
+
+def test_cli_end_to_end_with_preview(tmp_path):
+    """apps.calibrate on rendered ChArUco views: the reference's full
+    workflow — calibrate from board images, save .npy artifacts, write
+    undistorted previews (reference
+    calibration/charuco_calibration.py:33-95)."""
+    from aruco_slam_tpu.apps import calibrate as cli
+
+    _, views = make_charuco_views(n_views=5, seed=7)
+    npz = tmp_path / "views.npz"
+    np.savez_compressed(npz, images=views)
+    out = tmp_path / "calib"
+    cli.main(["--images", str(npz), "--board", "charuco",
+              "--grid", "7x5", "--square-size", "0.03",
+              "--marker-size", "0.015", "--dict", "apriltag_36h11",
+              "--out", str(out), "--iters", "40", "--preview", "2"])
+    k = np.load(out / "camera_matrix.npy")
+    d = np.load(out / "dist_coeffs.npy")
+    np.testing.assert_allclose(k[0, 0], 900.0, rtol=0.03)
+    np.testing.assert_allclose(k[1, 2], 360.0, atol=12)
+    assert d.shape[-1] == 5
+    previews = sorted((out / "preview").glob("undistorted_*.png"))
+    assert len(previews) == 2
+    import imageio.v3 as iio
+    im = iio.imread(previews[0])
+    assert im.shape == views[0].shape and im.max() > 100

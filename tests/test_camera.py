@@ -49,3 +49,25 @@ def test_distort_undistort_roundtrip():
 def test_camera_matrix_roundtrip():
     cam = make_cam()
     np.testing.assert_allclose(np.asarray(cam.matrix()), K)
+
+
+def test_undistort_image_matches_cv2():
+    # smooth test image so bilinear-interpolation differences between
+    # our remap and cv2's fixed-point remap stay sub-quantum
+    cam = make_cam()
+    h, w = 270, 480
+    k = K.copy()
+    k[0, 0] = k[1, 1] = 1414.9 / 4.0
+    k[0, 2] = w / 2.0
+    k[1, 2] = h / 2.0
+    cam = camera.CameraModel.from_matrix(k, DIST)
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    img = (127 + 90 * np.sin(xx / 37.0) * np.cos(yy / 23.0)
+           ).astype(np.uint8)
+    ours = np.asarray(camera.undistort_image(cam, img)).astype(np.float32)
+    theirs = cv2.undistort(img, k, DIST).astype(np.float32)
+    # ignore the border band (cv2 extrapolates the map outside the
+    # valid region slightly differently); interior must agree
+    s = np.s_[8:-8, 8:-8]
+    assert np.abs(ours[s] - theirs[s]).mean() < 0.5
+    assert np.abs(ours[s] - theirs[s]).max() <= 2.0
