@@ -21,7 +21,12 @@ from aruco_slam_tpu.io import sources
 def build(frames=300, markers=12, capacity=64, seed=0, noise_px=0.0,
           noise_t=0.0, noise_r=0.0, fov_limit=0.75,
           camera_matrix=None, dist_coeffs=None, marker_size=0.16,
-          with_images=False, image_size=(1920, 1080)):
+          with_images=False, image_size=(1920, 1080),
+          orbit_frames=None):
+    """orbit_frames: length of the FULL orbit the `frames` output
+    frames are sliced from (defaults to `frames` — one whole orbit).
+    Set larger (e.g. 10x frames) for video-rate inter-frame motion,
+    the regime the streaming tracker (--track-every) expects."""
     k = camera_matrix if camera_matrix is not None else np.array(
         [[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3], [0.0, 0.0, 1.0]])
     d = dist_coeffs if dist_coeffs is not None else np.array(
@@ -29,8 +34,11 @@ def build(frames=300, markers=12, capacity=64, seed=0, noise_px=0.0,
     cam = cam_mod.CameraModel.from_matrix(k, d)
     scene = synthetic.make_wall_scene(num_markers=markers, seed=seed,
                                       marker_size=marker_size)
-    traj = synthetic.make_orbit_trajectory(num_frames=frames,
-                                           seed=seed + 1)
+    traj = synthetic.make_orbit_trajectory(
+        num_frames=max(orbit_frames or frames, frames), seed=seed + 1)
+    if orbit_frames and orbit_frames > frames:
+        import jax
+        traj = jax.tree.map(lambda a: a[:frames], traj)
     pose_obs = synthetic.observe_poses(
         scene, traj, capacity, noise_t=noise_t, noise_r=noise_r,
         fov_limit=fov_limit, seed=seed + 2)
@@ -65,6 +73,10 @@ def main(argv=None) -> None:
     p.add_argument("--noise-r", type=float, default=0.0)
     p.add_argument("--images", action="store_true",
                    help="render grayscale frames (slower, larger)")
+    p.add_argument("--video-rate", action="store_true",
+                   help="slice the frames from a 10x-longer orbit so "
+                        "inter-frame motion is video-rate (what "
+                        "run_slam --track-every expects)")
     p.add_argument("--platform", default="cpu",
                    help="JAX platform (default cpu: synthesis is a "
                         "host-side tool; eager ops over a tunneled TPU "
@@ -77,7 +89,9 @@ def main(argv=None) -> None:
     bundle = build(frames=args.frames, markers=args.markers,
                    capacity=args.capacity, seed=args.seed,
                    noise_px=args.noise_px, noise_t=args.noise_t,
-                   noise_r=args.noise_r, with_images=args.images)
+                   noise_r=args.noise_r, with_images=args.images,
+                   orbit_frames=(10 * args.frames if args.video_rate
+                                 else None))
     sources.save_npz(args.out, **bundle)
     print(f"wrote {args.out}: {args.frames} frames, "
           f"{args.markers} markers"

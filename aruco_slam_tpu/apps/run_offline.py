@@ -58,7 +58,14 @@ def main(argv=None) -> None:
     p.add_argument("--odom-sigma-t", type=float, default=dflt.odom_sigma_t)
     p.add_argument("--odom-sigma-rot", type=float,
                    default=dflt.odom_sigma_rot)
+    p.add_argument("--track-every", type=int, default=dflt.track_every,
+                   metavar="K",
+                   help="streaming detection for image/video input "
+                        "(see run_slam --track-every); 0 = full "
+                        "detection every frame")
     args = p.parse_args(argv)
+    if args.track_every and args.track_every < 3:
+        p.error("--track-every needs K >= 3")
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -71,7 +78,8 @@ def main(argv=None) -> None:
                         odom_sigma_rot=args.odom_sigma_rot,
                         viz_2d=args.viz_2d, viz_3d=args.viz_3d,
                         viz_dir=args.viz_dir,
-                        export_video=args.export_video)
+                        export_video=args.export_video,
+                        track_every=args.track_every)
     if is_video(cfg.input):
         src = None
         times, t_cl, q_cl, mask, cam, _amb = load_video_observations(

@@ -56,14 +56,37 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
                                  dict_name=cfg.dict_name)
     times, buf, outs = [], [], []
 
+    ke = cfg.track_every
+    if ke:
+        # streaming front end: the chunk runs as ONE scan whose carry
+        # (corners, mask, velocity, frame index) crosses chunk
+        # boundaries via `track_cr`
+        @jax.jit
+        def tracked_chunk(cr, ims):
+            def step(cr, im):
+                c, m, v, i = cr
+                c, m, v = detect.detect_or_track(
+                    im, c, m, v, (i % ke) < 2, dcfg)
+                return (c, m, v, i + 1), (c, m)
+            return jax.lax.scan(step, cr, ims)
+
+        track_cr = [(jnp.zeros((cfg.capacity, 4, 2), jnp.float32),
+                     jnp.zeros(cfg.capacity, bool),
+                     jnp.zeros((cfg.capacity, 4, 2), jnp.float32),
+                     jnp.int32(0))]
+
     def flush():
         n = len(buf)
         if not n:
             return
         if n < chunk:
             buf.extend([np.zeros_like(buf[0])] * (chunk - n))
-        det = detect.detect_markers_batch(jnp.asarray(np.stack(buf)),
-                                          dcfg)
+        ims = jnp.asarray(np.stack(buf))
+        if ke:
+            track_cr[0], (det_c, det_m) = tracked_chunk(track_cr[0], ims)
+            det = detect.Detections(det_c, det_m, None, None, None)
+        else:
+            det = detect.detect_markers_batch(ims, dcfg)
         res = pnp.solve_square_pnp(cam, det.corners, cfg.marker_size)
         mask = det.mask & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
@@ -382,6 +405,12 @@ def main(argv=None) -> None:
                    help="directory with camera_matrix.npy + "
                         "dist_coeffs.npy (video input; the reference's "
                         "calibration artifacts)")
+    p.add_argument("--track-every", type=int, default=dflt.track_every,
+                   metavar="K",
+                   help="streaming detection for image/video input: "
+                        "full sweep on 2 of every K frames, decode-"
+                        "validated corner tracking in between (K >= 3;"
+                        " 0 = full detection every frame)")
     p.add_argument("--dict", dest="dict_name", default=dflt.dict_name,
                    help="marker dictionary for image inputs "
                         "(dict_4x4_50 | dict_5x5_50 | dict_6x6_50 | "
@@ -456,7 +485,11 @@ def main(argv=None) -> None:
         gate_distance=args.gate_distance,
         huber_delta=args.huber_delta,
         max_obs=args.max_obs,
-        dict_name=args.dict_name)
+        dict_name=args.dict_name,
+        track_every=args.track_every)
+    if args.track_every and args.track_every < 3:
+        p.error("--track-every needs K >= 3 (2 full frames bootstrap "
+                "the velocity prior)")
     if is_video(cfg.input):
         src = None
         times, t_cl, q_cl, mask, cam, amb = load_video_observations(

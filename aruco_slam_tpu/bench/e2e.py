@@ -33,7 +33,16 @@ def main(argv=None) -> None:
                    help="robust = the default 3-pass (window x scale) "
                         "candidate sweep (survives blur/noise/clutter"
                         "); fast = single coarse pass for clean scenes")
+    p.add_argument("--track-every", type=int, default=0, metavar="K",
+                   help="streaming mode: full detection on 2 of every "
+                        "K frames (velocity bootstrap), cheap corner "
+                        "tracking + decode-validation in between "
+                        "(ops/detect.detect_or_track). Renders a "
+                        "video-rate trajectory (10x slower orbit) so "
+                        "inter-frame motion is physical. K >= 3")
     args = p.parse_args(argv)
+    if args.track_every and args.track_every < 3:
+        p.error("--track-every needs K >= 3")
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -55,7 +64,14 @@ def main(argv=None) -> None:
     cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k, jnp.float32),
                                           jnp.asarray(d, jnp.float32))
     scene = synthetic.make_wall_scene(num_markers=args.markers, seed=0)
-    traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
+    if args.track_every:
+        # tracking needs video-rate motion; the default whole-orbit-in-
+        # `frames` trajectory jumps tens of px per frame
+        traj = jax.tree.map(
+            lambda a: a[:args.frames],
+            synthetic.make_orbit_trajectory(num_frames=10 * args.frames))
+    else:
+        traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
     t0 = time.perf_counter()
     frames = render_sequence(scene, traj, cam, image_size=(1920, 1080))
     print(f"# rendered {args.frames} frames in "
@@ -71,16 +87,41 @@ def main(argv=None) -> None:
     t = args.frames
     ch = args.chunk
 
+    ke = args.track_every
+
+    def detect_seq(images):
+        """(T, H, W) -> (corners (T,C,4,2), mask (T,C))."""
+        if not ke:
+            det = jax.lax.map(
+                lambda x: detect.detect_markers_batch(x, dcfg),
+                images.reshape(t // ch, ch, *images.shape[1:]))
+            return (det.corners.reshape(t, capacity, 4, 2),
+                    det.mask.reshape(t, capacity))
+
+        def step(cr, im):
+            c, m, v, i = cr
+            c, m, v = detect.detect_or_track(
+                im, c, m, v, (i % ke) < 2, dcfg)
+            return (c, m, v, i + 1), (c, m)
+
+        init = (jnp.zeros((capacity, 4, 2), jnp.float32),
+                jnp.zeros(capacity, bool),
+                jnp.zeros((capacity, 4, 2), jnp.float32),
+                jnp.int32(0))
+        _, (cs, ms) = jax.lax.scan(step, init, images)
+        return cs, ms
+
     def e2e(images, state):
-        def chunk(ims):
-            det = detect.detect_markers_batch(ims, dcfg)
-            res = pnp.solve_square_pnp(cam, det.corners, marker_size)
-            return (res.t_cl, res.q_cl,
-                    det.mask & (res.err < 3.0))
-        t_cl, q_cl, mask = jax.lax.map(
-            chunk, images.reshape(t // ch, ch, *images.shape[1:]))
+        corners_seq, mask_seq = detect_seq(images)
+
+        def pnp_chunk(c):
+            res = pnp.solve_square_pnp(cam, c, marker_size)
+            return res.t_cl, res.q_cl, res.err
+        t_cl, q_cl, err = jax.lax.map(
+            pnp_chunk, corners_seq.reshape(t // ch, ch, capacity, 4, 2))
         merge = lambda a: a.reshape(t, *a.shape[2:])
-        obs = FrameObservations(merge(t_cl), merge(q_cl), merge(mask))
+        obs = FrameObservations(
+            merge(t_cl), merge(q_cl), mask_seq & (merge(err) < 3.0))
         return mekf_scan(fcfg, state, obs)
 
     # repetitions run ON DEVICE (one dispatch): the tunneled executor's
@@ -107,34 +148,30 @@ def main(argv=None) -> None:
     # are real compute, not async dispatch artifacts) ---
     from aruco_slam_tpu.utils.profiling import StageTimer
 
-    @jax.jit
-    def detect_only(ims):
-        return jax.lax.map(
-            lambda x: detect.detect_markers_batch(x, dcfg),
-            ims.reshape(t // ch, ch, *ims.shape[1:]))
+    detect_only = jax.jit(detect_seq)
 
     @jax.jit
     def pnp_only(corners):
         return jax.lax.map(
             lambda c: pnp.solve_square_pnp(cam, c, marker_size),
-            corners)
+            corners.reshape(t // ch, ch, capacity, 4, 2))
 
     def mekf_only(obs, state):
         return mekf_scan(fcfg, state, obs)
 
-    det = jax.block_until_ready(detect_only(images))     # warm
-    res = jax.block_until_ready(pnp_only(det.corners))
+    cs, ms = jax.block_until_ready(detect_only(images))  # warm
+    res = jax.block_until_ready(pnp_only(cs))
     merge = lambda a: a.reshape(t, *a.shape[2:])
     obs = FrameObservations(
         merge(res.t_cl), merge(res.q_cl),
-        merge(det.mask & (res.err < 3.0)))
+        ms & (merge(res.err) < 3.0))
     mekf_jit = jax.jit(mekf_only)
     jax.block_until_ready(mekf_jit(obs, state0))
     timer = StageTimer()
     with timer.stage("detect") as s:
         s["result"] = detect_only(images)
     with timer.stage("pnp") as s:
-        s["result"] = pnp_only(det.corners)
+        s["result"] = pnp_only(cs)
     with timer.stage("mekf") as s:
         s["result"] = mekf_jit(obs, state0)
     for line in timer.report().splitlines():
@@ -150,6 +187,12 @@ def main(argv=None) -> None:
         "detector": args.detector,
         **flops_metrics(flops, dt),
     }
+    if ke:
+        row["track_every"] = ke
+        # observation quality rides along: tracked-mode drops show up
+        # as a lower per-frame detection count
+        row["mean_detections_per_frame"] = round(
+            float(np.asarray(ms).sum(1).mean()), 2)
     for name in ("detect", "pnp", "mekf"):
         if name in timer.totals:
             row[f"{name}_ms_per_frame"] = round(

@@ -27,6 +27,12 @@ class SlamAppConfig:
     # base_filter.py:82 hardcodes DICT_5X5_50; calibration uses
     # AprilTag 36h11) — ops/dictionary.py names
     dict_name: str = "dict_5x5_50"
+    # streaming detection: 0 = full detection every frame (the
+    # reference's behavior); K >= 3 = full detection on 2 of every K
+    # frames and decode-validated corner tracking in between
+    # (ops/detect.detect_or_track) — several times cheaper per frame
+    # on video-rate input, new markers acquired at the next full pass
+    track_every: int = 0
     # camera fallback (the reference's calibration artifacts,
     # calibration/camera_matrix.npy + dist_coeffs.npy)
     camera_matrix: np.ndarray = dataclasses.field(

@@ -78,6 +78,9 @@ class DetectorConfig(NamedTuple):
                                   # jump stage)
     subpix_win: int = 6           # half window (13x13)
     subpix_iters: int = 6
+    track_win: int = 8            # track_markers first-stage half
+                                  # window: max inter-frame corner
+                                  # motion the tracker absorbs (px)
     max_hamming: int = 1          # payload correction budget
     border_max_white: int = 2     # tolerated white border cells
     pallas: bool | None = None    # VMEM-resident flood kernel; None =
@@ -386,6 +389,32 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
             + fy * ((1 - fx) * v10 + fx * v11))
 
 
+def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Homography-sample the (cells x cells) grid of every quad and
+    threshold to bits. quads: (K, 4, 2) clockwise pixel corners.
+    Returns (bits (K, cells, cells) bool, border_white (K,) count)."""
+    k = quads.shape[0]
+    hmat = _homography_cells(quads, cells)         # (K, 3, 3)
+    ci = (jnp.arange(cells, dtype=jnp.float32) + 0.5)
+    gx, gy = jnp.meshgrid(ci, ci)                  # (cells, cells)
+    ones = jnp.ones_like(gx)
+    grid = jnp.stack([gx, gy, ones], -1).reshape(-1, 3)  # (cells², 3)
+    proj = jnp.einsum("kab,nb->kna", hmat, grid)
+    px = proj[..., 0] / proj[..., 2]
+    py = proj[..., 1] / proj[..., 2]
+    samples = jax.vmap(lambda x, y: _bilinear(img, x, y))(px, py)
+    samples = samples.reshape(k, cells, cells)
+
+    smin = samples.min(axis=(1, 2), keepdims=True)
+    smax = samples.max(axis=(1, 2), keepdims=True)
+    bits = samples > 0.5 * (smin + smax)
+    border = jnp.concatenate([
+        bits[:, 0, :], bits[:, -1, :],
+        bits[:, 1:-1, 0], bits[:, 1:-1, -1]], axis=-1)
+    return bits, border.sum(-1)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
                    ) -> Detections:
@@ -520,24 +549,8 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
         ((cfg.subpix_win, cfg.subpix_iters), (3, 4))).reshape(k, 4, 2)
 
     # 6. decode: sample cell centers through the quad homography
-    hmat = _homography_cells(refined, cells)       # (K, 3, 3)
-    ci = (jnp.arange(cells, dtype=jnp.float32) + 0.5)
-    gx, gy = jnp.meshgrid(ci, ci)                  # (cells, cells)
-    ones = jnp.ones_like(gx)
-    grid = jnp.stack([gx, gy, ones], -1).reshape(-1, 3)  # (cells², 3)
-    proj = jnp.einsum("kab,nb->kna", hmat, grid)
-    px = proj[..., 0] / proj[..., 2]
-    py = proj[..., 1] / proj[..., 2]
-    samples = jax.vmap(lambda x, y: _bilinear(img, x, y))(px, py)
-    samples = samples.reshape(k, cells, cells)
-
-    smin = samples.min(axis=(1, 2), keepdims=True)
-    smax = samples.max(axis=(1, 2), keepdims=True)
-    bits = samples > 0.5 * (smin + smax)
-    border = jnp.concatenate([
-        bits[:, 0, :], bits[:, -1, :],
-        bits[:, 1:-1, 0], bits[:, 1:-1, -1]], axis=-1)
-    border_ok = border.sum(-1) <= cfg.border_max_white
+    bits, border_white = _sample_cells(img, refined, cells)
+    border_ok = border_white <= cfg.border_max_white
     payload = bits[:, 1:-1, 1:-1].reshape(k, -1)
 
     table = jnp.asarray(d.table)                   # (N*4, nbits²)
@@ -583,6 +596,140 @@ def detect_markers_batch(images: jnp.ndarray, cfg: DetectorConfig
                          ) -> Detections:
     """vmapped detection over a leading batch axis (B, H, W)."""
     return jax.vmap(lambda im: detect_markers(im, cfg))(images)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
+                  mask: jnp.ndarray, cfg: DetectorConfig,
+                  velocity: jnp.ndarray | None = None
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Track previously-detected markers into a new frame — the cheap
+    per-frame half of a detect-every-K streaming pipeline.
+
+    Instead of the full-frame candidate sweep, each live slot's 4
+    corners are pulled to the new frame's corners by the same
+    structure-tensor subpixel iteration the detector uses (first stage
+    window ``cfg.track_win`` absorbs inter-frame motion up to that many
+    pixels), then VALIDATED by re-decoding the payload through the quad
+    homography: a tracked slot survives only if the bits still spell
+    its own id (rotation 0 — tracked corners stay canonical) within
+    ``max_hamming`` and the border is black. Markers that fail (left
+    the frame, moved too fast, occluded) drop out and are re-acquired
+    by the next full `detect_markers` pass; NEW markers only ever enter
+    through a full pass.
+
+    corners: (C, 4, 2) slot corners from the previous frame,
+    mask: (C,) live slots. `velocity` (C, 4, 2), if given, is the
+    per-corner displacement measured LAST step (constant-velocity
+    prior): the search starts at corners + velocity, so only the
+    frame-to-frame acceleration has to fit inside ``track_win`` —
+    smooth camera pans of any speed stay locked once acquired.
+    Returns the same (corners, mask) shapes for this frame.
+    Cost is ~candidate-free: three patch gathers + decode
+    (~0.3 ms/frame at 1080p vs ~6 ms for the robust full sweep).
+    """
+    d = dict_mod.load(cfg.dict_name)
+    nbits = d.marker_bits
+    cells = nbits + 2
+    img = image.astype(jnp.float32)
+    h, w = img.shape
+    c = corners.shape[0]
+
+    # Iterated median-consensus refinement. A single wide-window pull
+    # per corner is not reliable: corners whose motion approaches the
+    # window can stall at the drift clip or lock onto the WRONG
+    # attractor (a payload-cell corner ~1 cell away). So: pull all 4
+    # corners, take the per-marker MEDIAN displacement as the marker's
+    # translation (robust to 2 bad corners of 4; stuck corners
+    # contribute ~0, so the median can undershoot but not flip),
+    # re-pull from the translated quad, update the median, then polish
+    # with tight windows. Each round halves the worst-case residual
+    # (undershoot ≤ motion/2), and the stage windows (track_win → 6 →
+    # 3/2) cover it at every step. Frame-to-frame rotation/perspective
+    # change at video rate is ~a pixel, absorbed by the tight stages.
+    def consensus(seed, schedule):
+        pulled = _subpix_refine(
+            img, seed.reshape(-1, 2), schedule).reshape(c, 4, 2)
+        return seed + jnp.median(pulled - seed, axis=1, keepdims=True)
+
+    seed0 = corners if velocity is None else corners + velocity
+    quad = consensus(seed0, ((cfg.track_win, cfg.subpix_iters),))
+    quad = consensus(quad, ((6, 4),))
+    refined = _subpix_refine(
+        img, quad.reshape(-1, 2), ((3, 4), (2, 2))).reshape(c, 4, 2)
+    # The polish can hop to a payload-cell attractor a few px off
+    # (whose capture basin starts ~1.5 px out — and which can still
+    # survive decode, compounding frame over frame). The consensus
+    # quad is sub-px accurate once converged AND carries per-corner
+    # velocity through seed0, so true shape change per frame is well
+    # under a pixel: any corner that strayed further snaps back to
+    # the quad instead of feeding the drift.
+    refined = jnp.where(
+        jnp.abs(refined - quad) > 1.25, quad, refined)
+
+    bits, border_white = _sample_cells(img, refined, cells)
+    payload = bits[:, 1:-1, 1:-1].reshape(c, -1)
+    n = d.num_markers
+    m = min(c, n)
+    expected = np.zeros((c, nbits * nbits), bool)
+    expected[:m] = d.bits[:m].reshape(m, -1)
+    hamming = (payload ^ jnp.asarray(expected)).sum(-1)
+    slot_live = jnp.arange(c) < n
+
+    # corners clamped to the patch border by the refiner are off-frame
+    margin = float(cfg.track_win + 4)
+    xs, ys = refined[..., 0], refined[..., 1]
+    in_frame = ((xs > margin) & (xs < w - margin)
+                & (ys > margin) & (ys < h - margin)).all(-1)
+
+    ok = (mask & slot_live & in_frame
+          & (border_white <= cfg.border_max_white)
+          & (hamming <= cfg.max_hamming))
+    return refined, ok
+
+
+def detect_or_track(image: jnp.ndarray, corners: jnp.ndarray,
+                    mask: jnp.ndarray, velocity: jnp.ndarray,
+                    do_full: jnp.ndarray, cfg: DetectorConfig
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One streaming-detection step: full candidate sweep when
+    `do_full` (a traced bool — e.g. ``i % K == 0`` inside a scan, or
+    "tracked count collapsed"), else cheap tracking of the previous
+    frame's corners with a constant-velocity prior. Both branches
+    return slot (corners (C,4,2), mask (C,), velocity (C,4,2)), so
+    this drops into a `lax.scan` carry directly.
+
+    Velocity is the displacement since the previous frame for slots
+    alive in both (0 for fresh acquisitions), in EITHER branch — so a
+    slot that stays alive across a full pass keeps its prior, and two
+    consecutive full passes bootstrap the prior for everything visible
+    (schedule ``i % K < 2`` when the sequence moves fast; a fresh
+    slot's first track step otherwise has to absorb the raw motion
+    inside ``track_win``)."""
+
+    def full(_):
+        det = detect_markers(image, cfg)
+        return (det.corners, det.mask,
+                track_velocity(det.corners, det.mask, corners, mask))
+
+    def track(_):
+        nc, nm = track_markers(image, corners, mask, cfg, velocity)
+        return nc, nm, track_velocity(nc, nm, corners, mask)
+
+    return jax.lax.cond(do_full, full, track, None)
+
+
+def track_velocity(new_c: jnp.ndarray, new_m: jnp.ndarray,
+                   old_c: jnp.ndarray, old_m: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Per-marker translation velocity for the tracking prior: the
+    MEDIAN corner displacement, broadcast over corners. Deliberately
+    translation-only — a per-corner velocity would bake any single
+    corner's residual error into next frame's seed and compound it;
+    shape change per frame is sub-px and the track windows absorb it."""
+    med = jnp.median(new_c - old_c, axis=1, keepdims=True)
+    return jnp.where((new_m & old_m)[:, None, None],
+                     jnp.broadcast_to(med, new_c.shape), 0.0)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

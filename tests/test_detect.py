@@ -304,3 +304,78 @@ def test_flood_converges_on_marker_shapes():
                 assert len(got) == 1, (
                     f"ang {ang} size {size}: component {comp} "
                     f"split into {len(got)} labels")
+
+
+class TestTracking:
+    """Streaming detect-every-K: decode-validated corner tracking
+    between full sweeps (ops/detect.track_markers / detect_or_track)."""
+
+    @pytest.fixture(scope="class")
+    def video_rate(self):
+        """14 frames at video-rate motion (a 300-frame orbit sliced —
+        the whole-orbit-in-14 default jumps ~100 px/frame)."""
+        import jax
+        cam = cam_mod.CameraModel.from_matrix(jnp.asarray(K2),
+                                              jnp.asarray(DIST))
+        scene = synthetic.make_wall_scene(num_markers=10, seed=0)
+        traj = jax.tree.map(
+            lambda a: a[:14],
+            synthetic.make_orbit_trajectory(num_frames=300))
+        frames = render.render_sequence(scene, traj, cam,
+                                        image_size=SIZE)
+        gt_corners, mask = synthetic.observe_corners(
+            scene, traj, cam, 64, image_size=SIZE)
+        return frames, gt_corners, mask
+
+    def test_pure_tracking_follows(self, video_rate):
+        """Track 13 consecutive frames with NO re-detection: survivors
+        must stay pixel-accurate against the render ground truth (no
+        drift) and never hallucinate."""
+        frames, gt, vis = video_rate
+        d0 = detect.detect_markers(jnp.asarray(frames[0]), CFG)
+        n0 = int(np.asarray(d0.mask).sum())
+        assert n0 >= 3
+        c, m = d0.corners, d0.mask
+        v = jnp.zeros_like(c)
+        errs = []
+        for f in range(1, len(frames)):
+            c2, m2 = detect.track_markers(jnp.asarray(frames[f]),
+                                          c, m, CFG, v)
+            v = detect.track_velocity(c2, m2, c, m)
+            c, m = c2, m2
+            tids = set(np.where(np.asarray(m))[0].tolist())
+            expected = set(np.where(vis[f])[0].tolist())
+            assert tids <= expected, (f, tids - expected)
+            for i in tids:
+                diff = np.abs(np.asarray(c[i]) - gt[f][i]).max()
+                assert diff < 2.5, (f, i, diff)
+                errs.append(diff)
+        # sub-px typical accuracy, same bar as the full detector's
+        # corner test, and bounded attrition over 13 tracked frames
+        assert np.mean(errs) < 1.0, np.mean(errs)
+        assert int(np.asarray(m).sum()) >= n0 - 2
+
+    def test_detect_or_track_reacquires(self, video_rate):
+        """With full sweeps 2 of every K frames, everything the
+        full detector sees is acquired within one period, and tracked
+        frames carry (nearly) the full set."""
+        frames, _, vis = video_rate
+        k = 5
+        c = jnp.zeros((64, 4, 2), jnp.float32)
+        m = jnp.zeros(64, bool)
+        v = jnp.zeros_like(c)
+        seen, seen_full = set(), set()
+        tracked_counts, full_counts = [], []
+        for f in range(len(frames)):
+            c, m, v = detect.detect_or_track(
+                jnp.asarray(frames[f]), c, m, v,
+                jnp.asarray(f % k < 2), CFG)
+            full = detect.detect_markers(jnp.asarray(frames[f]), CFG)
+            seen |= set(np.where(np.asarray(m))[0].tolist())
+            seen_full |= set(np.where(np.asarray(full.mask))[0].tolist())
+            if f % k >= 2:
+                tracked_counts.append(int(np.asarray(m).sum()))
+                full_counts.append(int(np.asarray(full.mask).sum()))
+        assert seen == seen_full, (seen, seen_full)
+        # tracked frames keep most of what a full sweep would see
+        assert sum(tracked_counts) >= sum(full_counts) - len(full_counts)

@@ -231,3 +231,27 @@ def test_run_slam_video_input(tmp_path):
     assert np.isfinite(poses).all()
     ids, _, _ = load_map(mfile)
     assert len(ids) >= 1
+
+
+def test_run_slam_tracked_streaming(tmp_path):
+    """--track-every K on an image-bearing bundle with video-rate
+    motion: the streaming front end (full sweep 2 of K frames +
+    decode-validated tracking) must carry its state across ingest
+    chunks and land the same outputs as the per-frame path."""
+    from aruco_slam_tpu.apps import make_synthetic, run_slam
+    from aruco_slam_tpu.io import sources
+    k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
+                  [0.0, 0.0, 1.0]])
+    bundle = make_synthetic.build(
+        frames=12, markers=6, capacity=16, camera_matrix=k,
+        dist_coeffs=np.zeros(5), with_images=True,
+        image_size=(720, 405), orbit_frames=120)
+    path = tmp_path / "seq.npz"
+    sources.save_npz(path, **bundle)
+    run_slam.main(["--input", str(path), "--track-every", "4",
+                   "--trajectory", str(tmp_path / "t.txt"),
+                   "--map", str(tmp_path / "m.txt")])
+    rows = np.loadtxt(tmp_path / "t.txt")
+    assert rows.shape == (12, 8)
+    err = np.linalg.norm(rows[:, 1:4] - bundle["gt_cam_t"], axis=1)
+    assert err.mean() < 0.5, err.mean()
