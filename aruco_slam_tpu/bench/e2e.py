@@ -40,6 +40,10 @@ def main(argv=None) -> None:
                         "(ops/detect.detect_or_track). Renders a "
                         "video-rate trajectory (10x slower orbit) so "
                         "inter-frame motion is physical. K >= 3")
+    p.add_argument("--video-rate", action="store_true",
+                   help="use the sliced 10x-longer orbit (what "
+                        "--track-every implies) without tracking — "
+                        "for apples-to-apples full-vs-tracked runs")
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
@@ -64,7 +68,7 @@ def main(argv=None) -> None:
     cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k, jnp.float32),
                                           jnp.asarray(d, jnp.float32))
     scene = synthetic.make_wall_scene(num_markers=args.markers, seed=0)
-    if args.track_every:
+    if args.track_every or args.video_rate:
         # tracking needs video-rate motion; the default whole-orbit-in-
         # `frames` trajectory jumps tens of px per frame
         traj = jax.tree.map(
@@ -189,10 +193,11 @@ def main(argv=None) -> None:
     }
     if ke:
         row["track_every"] = ke
-        # observation quality rides along: tracked-mode drops show up
-        # as a lower per-frame detection count
-        row["mean_detections_per_frame"] = round(
-            float(np.asarray(ms).sum(1).mean()), 2)
+    # observation quality rides along: tracked-mode drops show up as a
+    # lower per-frame detection count than a full-sweep run on the
+    # same --video-rate trajectory
+    row["mean_detections_per_frame"] = round(
+        float(np.asarray(ms).sum(1).mean()), 2)
     for name in ("detect", "pnp", "mekf"):
         if name in timer.totals:
             row[f"{name}_ms_per_frame"] = round(

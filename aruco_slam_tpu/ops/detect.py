@@ -81,6 +81,11 @@ class DetectorConfig(NamedTuple):
     track_win: int = 8            # track_markers first-stage half
                                   # window: max inter-frame corner
                                   # motion the tracker absorbs (px)
+    track_slots: int = 16         # max simultaneously-tracked markers
+                                  # (live slots compacted via top_k;
+                                  # 0 = track every slot). Extra
+                                  # visible markers re-acquire at each
+                                  # full sweep instead of tracking
     max_hamming: int = 1          # payload correction budget
     border_max_white: int = 2     # tolerated white border cells
     pallas: bool | None = None    # VMEM-resident flood kernel; None =
@@ -489,9 +494,20 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
         # at parity there anyway — the fused batched loop is
         # bandwidth-bound, pallas_cc.py notes)
         pm = pallas_mode if bg_label <= 300_000 else "off"
-        labels = _connected_components(fg, cfg.prop_iters,
-                                       scan_rounds=cfg.scan_rounds,
-                                       pallas_mode=pm)
+        # Fine-downscale passes run at 4x the coarse pixel count and
+        # dominate the 3-pass sweep's cost; they exist only to
+        # SEPARATE components the coarse min-pool bridges, so partial
+        # flood convergence there costs at most a clutter-adjacent
+        # marker the coarse (fully-converged) passes lost anyway —
+        # half the flood effort saves ~20% of the whole robust
+        # detector (measured 5.7 -> 4.7 ms/frame at 1080p) with
+        # recall unchanged on the degraded/clutter suites.
+        fine = ds < base_ds
+        labels = _connected_components(
+            fg, cfg.prop_iters // 2 if fine else cfg.prop_iters,
+            scan_rounds=(max(2, cfg.scan_rounds // 2) if fine
+                         else cfg.scan_rounds),
+            pallas_mode=pm)
 
         # Fine-downscale passes exist to SEPARATE components the
         # coarse min-pool bridges; once labeled, everything downstream
@@ -629,6 +645,32 @@ def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
     (~0.3 ms/frame at 1080p vs ~6 ms for the robust full sweep).
     """
     d = dict_mod.load(cfg.dict_name)
+    c = corners.shape[0]
+    if velocity is None:
+        velocity = jnp.zeros_like(corners)
+    ts = min(cfg.track_slots, c) if cfg.track_slots else c
+    if ts < c:
+        # Compact to the live slots: every stage below does per-slot
+        # work (patch gathers, scalar homographies, payload decode),
+        # so tracking 64 mostly-dead slots costs ~4x tracking the ~16
+        # that can actually be alive. top_k on the mask picks the live
+        # slot indices (ties resolve to the lowest ids — deterministic;
+        # >track_slots simultaneously-visible markers fall back to
+        # re-acquisition at the next full sweep).
+        _, idx = jax.lax.top_k(mask.astype(jnp.int32), ts)
+        rc, ok = _track_core(image, corners[idx], mask[idx],
+                             velocity[idx], cfg, d, idx)
+        return (corners.at[idx].set(rc),
+                jnp.zeros(c, bool).at[idx].set(ok))
+    return _track_core(image, corners, mask, velocity, cfg, d,
+                       jnp.arange(c))
+
+
+def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
+                d, slot_ids):
+    """Tracking math on a (possibly compacted) slot set: corners
+    (S,4,2), mask (S,), velocity (S,4,2), slot_ids (S,) marker id per
+    row. Returns (corners (S,4,2), ok (S,))."""
     nbits = d.marker_bits
     cells = nbits + 2
     img = image.astype(jnp.float32)
@@ -652,8 +694,8 @@ def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
             img, seed.reshape(-1, 2), schedule).reshape(c, 4, 2)
         return seed + jnp.median(pulled - seed, axis=1, keepdims=True)
 
-    seed0 = corners if velocity is None else corners + velocity
-    quad = consensus(seed0, ((cfg.track_win, cfg.subpix_iters),))
+    quad = consensus(corners + velocity,
+                     ((cfg.track_win, cfg.subpix_iters),))
     quad = consensus(quad, ((6, 4),))
     refined = _subpix_refine(
         img, quad.reshape(-1, 2), ((3, 4), (2, 2))).reshape(c, 4, 2)
@@ -670,11 +712,10 @@ def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
     bits, border_white = _sample_cells(img, refined, cells)
     payload = bits[:, 1:-1, 1:-1].reshape(c, -1)
     n = d.num_markers
-    m = min(c, n)
-    expected = np.zeros((c, nbits * nbits), bool)
-    expected[:m] = d.bits[:m].reshape(m, -1)
-    hamming = (payload ^ jnp.asarray(expected)).sum(-1)
-    slot_live = jnp.arange(c) < n
+    table = jnp.asarray(d.bits.reshape(n, -1).astype(bool))
+    expected = table[jnp.clip(slot_ids, 0, n - 1)]
+    hamming = (payload ^ expected).sum(-1)
+    slot_live = slot_ids < n
 
     # corners clamped to the patch border by the refiner are off-frame
     margin = float(cfg.track_win + 4)

@@ -26,3 +26,18 @@ jax.config.update("jax_enable_x64", True)
 # host, and kernels rarely change between runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# The XLA:CPU JIT on long single-process runs segfaults inside
+# backend_compile once enough executables have accumulated (observed
+# deterministically at the ~95th test's large sharded-BA compile;
+# every sub-suite passes in isolation). Dropping the in-process
+# executable caches between modules keeps peak JIT state bounded; the
+# persistent on-disk cache makes the recompiles cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_state():
+    yield
+    jax.clear_caches()
