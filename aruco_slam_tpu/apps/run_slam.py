@@ -412,9 +412,11 @@ def main(argv=None) -> None:
                         "validated corner tracking in between (K >= 3;"
                         " 0 = full detection every frame)")
     p.add_argument("--dict", dest="dict_name", default=dflt.dict_name,
-                   help="marker dictionary for image inputs "
-                        "(dict_4x4_50 | dict_5x5_50 | dict_6x6_50 | "
-                        "apriltag_36h11)")
+                   help="marker dictionary for image inputs — any of "
+                        "the standard cv2 predefined set "
+                        "(dict_{4x4,5x5,6x6,7x7}_{50,100,250,1000}, "
+                        "aruco_original, apriltag_{16h5,25h9,36h10,"
+                        "36h11}; ops/dictionary.names())")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace of the "
                         "filter run to DIR (view with XProf/"

@@ -101,7 +101,10 @@ def render_frame(scene: Scene, cam_q, cam_t, cam, norm_map,
 def render_sequence(scene: Scene, traj: Trajectory, cam,
                     dict_name: str = dict_mod.DICT_5X5_50,
                     image_size=(1920, 1080),
-                    background: np.ndarray | None = None) -> np.ndarray:
+                    background: np.ndarray | None = None,
+                    marker_ids=None) -> np.ndarray:
+    """marker_ids: dictionary id per scene marker (default: marker j
+    renders id j)."""
     w, h = image_size
     d = dict_mod.load(dict_name)
     norm_map = _undistort_map(cam, w, h)
@@ -109,6 +112,7 @@ def render_sequence(scene: Scene, traj: Trajectory, cam,
     for i in range(len(traj.times)):
         frames[i] = render_frame(scene, traj.cam_q[i], traj.cam_t[i],
                                  cam, norm_map, d,
+                                 marker_ids=marker_ids,
                                  background=background)
     return frames
 

@@ -4,7 +4,10 @@ The bit patterns are public constant data (the standard ArUco /
 AprilTag dictionaries the reference selects via
 cv2.aruco.getPredefinedDictionary, reference filters/base_filter.py:82
 — DICT_5X5_50 default — and calibration/charuco_calibration.py —
-DICT_APRILTAG_36h11), baked to .npy in ops/data/.
+DICT_APRILTAG_36h11), baked to .npy in ops/data/ by
+scripts/bake_dictionaries.py (every cv2 predefined dictionary:
+4x4/5x5/6x6/7x7 at 50/100/250/1000, ARUCO_ORIGINAL, AprilTag
+16h5/25h9/36h10/36h11 — `names()` lists them).
 
 `match_table` precomputes all 4 rotations of every code as ±1
 vectors, so payload matching in the detector is ONE matmul
@@ -25,7 +28,15 @@ _DATA = Path(__file__).parent / "data"
 DICT_5X5_50 = "dict_5x5_50"
 DICT_4X4_50 = "dict_4x4_50"
 DICT_6X6_50 = "dict_6x6_50"
+DICT_7X7_50 = "dict_7x7_50"
+DICT_ARUCO_ORIGINAL = "aruco_original"
 DICT_APRILTAG_36H11 = "apriltag_36h11"
+
+
+def names() -> list[str]:
+    """All baked dictionary names (any is valid for `load` and for
+    the drivers' --dict flag)."""
+    return sorted(p.stem for p in _DATA.glob("*.npy"))
 
 
 class Dictionary(NamedTuple):

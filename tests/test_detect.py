@@ -379,3 +379,35 @@ class TestTracking:
         assert seen == seen_full, (seen, seen_full)
         # tracked frames keep most of what a full sweep would see
         assert sum(tracked_counts) >= sum(full_counts) - len(full_counts)
+
+
+def test_all_standard_dictionaries_load_and_detect():
+    """Every baked dictionary (scripts/bake_dictionaries.py — the full
+    cv2 predefined set the reference can select from, reference
+    filters/base_filter.py:82) loads, and detection end-to-end decodes
+    the right ids for a sample of them, including >50-marker tables
+    and 7x7 payloads."""
+    from aruco_slam_tpu.ops import dictionary
+
+    names = dictionary.names()
+    assert len(names) >= 21, names
+    for name in names:
+        d = dictionary.load(name)
+        assert d.table.shape == (d.num_markers * 4,
+                                 d.marker_bits ** 2)
+
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(K2),
+                                          jnp.asarray(DIST))
+    for name, test_id in [("dict_7x7_50", 7), ("dict_4x4_250", 199),
+                          ("aruco_original", 777)]:
+        scene = synthetic.make_wall_scene(num_markers=3, seed=3)
+        traj = synthetic.make_orbit_trajectory(num_frames=2)
+        frames = render.render_sequence(
+            scene, traj, cam, image_size=SIZE, dict_name=name,
+            marker_ids=np.array([test_id, test_id + 1, test_id + 2]))
+        cfg = detect.DetectorConfig(dict_name=name,
+                                    capacity=test_id + 4)
+        det = detect.detect_markers(jnp.asarray(frames[0]), cfg)
+        got = set(np.where(np.asarray(det.mask))[0].tolist())
+        expected = {test_id, test_id + 1, test_id + 2}
+        assert got and got <= expected, (name, got, expected)
