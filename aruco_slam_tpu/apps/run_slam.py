@@ -65,8 +65,13 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
         def tracked_chunk(cr, ims):
             def step(cr, im):
                 c, m, v, i = cr
+                # full sweep on the bootstrap frames of each period,
+                # and immediately when tracking lost everything (all
+                # markers left frame / motion spike) instead of
+                # waiting out the period blind
+                do_full = ((i % ke) < 2) | ~m.any()
                 c, m, v = detect.detect_or_track(
-                    im, c, m, v, (i % ke) < 2, dcfg)
+                    im, c, m, v, do_full, dcfg)
                 return (c, m, v, i + 1), (c, m)
             return jax.lax.scan(step, cr, ims)
 

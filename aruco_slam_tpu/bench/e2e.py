@@ -105,7 +105,7 @@ def main(argv=None) -> None:
         def step(cr, im):
             c, m, v, i = cr
             c, m, v = detect.detect_or_track(
-                im, c, m, v, (i % ke) < 2, dcfg)
+                im, c, m, v, ((i % ke) < 2) | ~m.any(), dcfg)
             return (c, m, v, i + 1), (c, m)
 
         init = (jnp.zeros((capacity, 4, 2), jnp.float32),

@@ -411,3 +411,21 @@ def test_all_standard_dictionaries_load_and_detect():
         got = set(np.where(np.asarray(det.mask))[0].tolist())
         expected = {test_id, test_id + 1, test_id + 2}
         assert got and got <= expected, (name, got, expected)
+
+
+def test_tracking_lost_everything_reacquires(rendered):
+    """With an empty carry, pure tracking stays empty — the drivers'
+    `(i % K < 2) | ~mask.any()` schedule forces a full sweep the
+    moment tracking has nothing left, instead of running out the
+    period blind."""
+    import jax.numpy as jnp_
+    cam, scene, traj, frames, corners, mask = rendered
+    img = jnp_.asarray(frames[0])
+    c = jnp_.zeros((64, 4, 2), jnp_.float32)
+    m = jnp_.zeros(64, bool)
+    v = jnp_.zeros_like(c)
+    _, m1 = detect.track_markers(img, c, m, CFG, v)
+    assert not np.asarray(m1).any()
+    do_full = jnp_.asarray(False) | ~m.any()
+    c2, m2, _ = detect.detect_or_track(img, c, m, v, do_full, CFG)
+    assert np.asarray(m2).any()
