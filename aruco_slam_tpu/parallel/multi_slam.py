@@ -44,3 +44,43 @@ def batched_mekf_scan(cfg: MekfConfig, states: MekfState,
 
 def stack_states(states: list[MekfState]) -> MekfState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def _vmapped_image_pipeline(dcfg, fcfg: MekfConfig, cam,
+                            marker_size: float, images: jnp.ndarray,
+                            states: MekfState):
+    from aruco_slam_tpu.ops import detect, pnp
+
+    def one(ims, state):
+        det = detect.detect_markers_batch(ims, dcfg)
+        res = pnp.solve_square_pnp(cam, det.corners, marker_size)
+        obs = FrameObservations(
+            t_cl=res.t_cl, q_cl=res.q_cl,
+            mask=det.mask & (res.err < 3.0))
+        return mekf_scan(fcfg, state, obs)
+
+    return jax.vmap(one)(images, states)
+
+
+def batched_image_slam(dcfg, fcfg: MekfConfig, cam,
+                       marker_size: float, images: jnp.ndarray,
+                       states: MekfState, mesh: Mesh | None = None,
+                       axis: str | None = None):
+    """The FULL image->pose pipeline (detection + IPPE PnP + fused
+    MEKF) over S independent video streams at once — BASELINE config 5
+    end to end from pixels, not from pre-extracted observations.
+
+    ``images``: (S, T, H, W) grayscale; ``states``: MekfState stacked
+    over S. With a mesh the stream axis is sharded across devices —
+    streams are independent, so filtering runs with zero cross-device
+    traffic and scaling is linear in devices (camera intrinsics and
+    detector tables are replicated by XLA).
+    Returns (final states (S, ...), trajectories (S, T, 7)).
+    """
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
+        images = jax.device_put(images, shard)
+        states = jax.device_put(states, shard)
+    return _vmapped_image_pipeline(dcfg, fcfg, cam, marker_size,
+                                   images, states)

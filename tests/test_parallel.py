@@ -131,3 +131,48 @@ def test_large_map_survey():
     assert out["state_dim"] == 9 + 96 * 3  # cv model: [dt, dth, dv]
     assert out["mean_visible"] > 4
     assert out["ate_m"] < 0.4, out
+
+
+def test_sharded_image_pipeline_fleet(mesh):
+    """BASELINE config 5 from PIXELS: the full detect -> PnP -> MEKF
+    pipeline vmapped over 8 video streams sharded across the mesh must
+    match the unsharded single-stream pipeline exactly."""
+    from aruco_slam_tpu.bench import render
+    from aruco_slam_tpu.core import camera as cam_mod
+    from aruco_slam_tpu.ops import detect
+    from aruco_slam_tpu.parallel.multi_slam import batched_image_slam
+
+    k = np.array([[700.0, 0.0, 240.0], [0.0, 700.0, 135.0],
+                  [0.0, 0.0, 1.0]])
+    cam = cam_mod.CameraModel.from_matrix(jnp.asarray(k),
+                                          jnp.asarray(np.zeros(5)))
+    scene = synthetic.make_wall_scene(num_markers=6, seed=4)
+    traj = jax.tree.map(lambda a: a[:4],
+                        synthetic.make_orbit_trajectory(num_frames=40))
+    frames = render.render_sequence(scene, traj, cam,
+                                    image_size=(480, 270))
+    s = 8
+    images = jnp.asarray(np.broadcast_to(
+        frames, (s,) + frames.shape).copy())
+    dcfg = detect.DetectorConfig(capacity=16, downscale=2,
+                                 passes=((9, 2),), min_area=12)
+    fcfg = MekfConfig(capacity=16, max_obs=8)
+    states = stack_states([init_state(fcfg)] * s)
+    finals, trajs = batched_image_slam(
+        dcfg, fcfg, cam, scene.marker_size, images, states, mesh)
+    assert trajs.shape == (s, 4, 7)
+    assert np.isfinite(np.asarray(trajs)).all()
+    # identical streams -> identical outputs across shards
+    np.testing.assert_array_equal(np.asarray(trajs[0]),
+                                  np.asarray(trajs[5]))
+    # and the sharded fleet matches the plain single pipeline
+    from aruco_slam_tpu.filters import mekf_scan
+    from aruco_slam_tpu.ops import pnp
+    det = detect.detect_markers_batch(jnp.asarray(frames), dcfg)
+    res = pnp.solve_square_pnp(cam, det.corners, scene.marker_size)
+    obs = FrameObservations(t_cl=res.t_cl, q_cl=res.q_cl,
+                            mask=det.mask & (res.err < 3.0))
+    assert bool(obs.mask.any()), "scene produced no detections"
+    _, traj_single = mekf_scan(fcfg, init_state(fcfg), obs)
+    np.testing.assert_allclose(np.asarray(trajs[0]),
+                               np.asarray(traj_single), atol=1e-6)
