@@ -44,9 +44,20 @@ def main(argv=None) -> None:
                    help="use the sliced 10x-longer orbit (what "
                         "--track-every implies) without tracking — "
                         "for apples-to-apples full-vs-tracked runs")
+    p.add_argument("--streams", type=int, default=1, metavar="S",
+                   help="serve S independent video streams at once "
+                        "(full pixels->pose pipeline vmapped over the "
+                        "stream axis; BASELINE config 5 shape). "
+                        "Reports aggregate and per-stream fps")
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
+    if args.streams > 1 and args.track_every:
+        # vmapping lax.cond over streams with per-stream predicates
+        # lowers to select (BOTH branches run every frame), silently
+        # erasing tracking's advantage — refuse the combination
+        p.error("--streams measures the batched-serving shape; "
+                "tracking is a single-stream latency optimization")
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -131,21 +142,43 @@ def main(argv=None) -> None:
     # repetitions run ON DEVICE (one dispatch): the tunneled executor's
     # per-call RTT would otherwise dominate sub-ms/frame pipelines.
     # Each rep's input depends on the carry so XLA cannot hoist it.
-    reps = 8
+    ns = args.streams
+    reps = 8 if ns == 1 else max(2, 8 // ns)
 
-    @jax.jit
-    def timed(images, state):
-        def body(_, acc):
-            _, tr = e2e(images + (acc.astype(jnp.uint8) % 2), state)
-            return acc + tr.sum()
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    if ns == 1:
+        @jax.jit
+        def timed(images, state):
+            def body(_, acc):
+                _, tr = e2e(images + (acc.astype(jnp.uint8) % 2),
+                            state)
+                return acc + tr.sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        timed_args = lambda images: (images, state0)
+    else:
+        # stream fleet: ONE rendered sequence broadcast on device with
+        # a per-stream perturbation (so XLA/the tunnel cannot collapse
+        # identical streams); host renders and ships (T, H, W) once
+        from aruco_slam_tpu.parallel.multi_slam import stack_states
+        states0 = stack_states([init_state(fcfg)] * ns)
+
+        @jax.jit
+        def timed(images, states):
+            def body(_, acc):
+                jitter = ((jnp.arange(ns) + acc.astype(jnp.int32)) % 3
+                          ).astype(jnp.uint8)[:, None, None, None]
+                _, trs = jax.vmap(e2e)(images[None] + jitter, states)
+                return acc + trs.sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        timed_args = lambda images: (images, states0)
 
     images = jnp.asarray(frames)
-    jax.block_until_ready(timed(images, state0))  # compile + warm
+    jax.block_until_ready(timed(*timed_args(images)))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(timed(images, state0))
+    jax.block_until_ready(timed(*timed_args(images)))
     dt = (time.perf_counter() - t0) / reps
-    fps = t / dt
+    fps = ns * t / dt
 
     # --- stage split: each stage timed as its own on-device program
     # (utils/profiling.StageTimer blocks on results, so the numbers
@@ -182,15 +215,18 @@ def main(argv=None) -> None:
         print(f"# {line}")
 
     from aruco_slam_tpu.bench.pipeline import flops_metrics, flops_of
-    flops = flops_of(lambda im, s: e2e(im, s)[1], images, state0)
+    flops = flops_of(lambda im, st: e2e(im, st)[1], images, state0)
     row = {
         "metric": "e2e_image_to_pose_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "resolution": "1920x1080",
         "detector": args.detector,
-        **flops_metrics(flops, dt),
+        **flops_metrics((flops or 0) * ns or None, dt),
     }
+    if ns > 1:
+        row["streams"] = ns
+        row["per_stream_fps"] = round(fps / ns, 1)
     if ke:
         row["track_every"] = ke
     # observation quality rides along: tracked-mode drops show up as a
