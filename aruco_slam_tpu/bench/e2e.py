@@ -52,12 +52,6 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
-    if args.streams > 1 and args.track_every:
-        # vmapping lax.cond over streams with per-stream predicates
-        # lowers to select (BOTH branches run every frame), silently
-        # erasing tracking's advantage — refuse the combination
-        p.error("--streams measures the batched-serving shape; "
-                "tracking is a single-stream latency optimization")
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -139,6 +133,43 @@ def main(argv=None) -> None:
             merge(t_cl), merge(q_cl), mask_seq & (merge(err) < 3.0))
         return mekf_scan(fcfg, state, obs)
 
+    def e2e_fleet(images, states):
+        """(S, T, H, W): tracked fleet keeps the full/track schedule a
+        SCALAR cond OUTSIDE the stream vmap (detect_or_track_batch) —
+        a per-stream predicate would lower to select and run full
+        detection every frame."""
+        if not ke:
+            return jax.vmap(e2e)(images, states)
+        ns_ = images.shape[0]
+
+        def step(cr, ims_t):
+            c, m, v, i = cr
+            c, m, v = detect.detect_or_track_batch(
+                ims_t, c, m, v, (i % ke) < 2, dcfg)
+            return (c, m, v, i + 1), (c, m)
+
+        init = (jnp.zeros((ns_, capacity, 4, 2), jnp.float32),
+                jnp.zeros((ns_, capacity), bool),
+                jnp.zeros((ns_, capacity, 4, 2), jnp.float32),
+                jnp.int32(0))
+        _, (cs, ms) = jax.lax.scan(
+            step, init, jnp.swapaxes(images, 0, 1))
+        cs = jnp.swapaxes(cs, 0, 1)  # back to (S, T, ...)
+        ms = jnp.swapaxes(ms, 0, 1)
+
+        def tail(c_seq, m_seq, state):
+            def pnp_chunk(c):
+                res = pnp.solve_square_pnp(cam, c, marker_size)
+                return res.t_cl, res.q_cl, res.err
+            t_cl, q_cl, err = jax.lax.map(
+                pnp_chunk, c_seq.reshape(t // ch, ch, capacity, 4, 2))
+            merge = lambda a: a.reshape(t, *a.shape[2:])
+            obs = FrameObservations(
+                merge(t_cl), merge(q_cl), m_seq & (merge(err) < 3.0))
+            return mekf_scan(fcfg, state, obs)
+
+        return jax.vmap(tail)(cs, ms, states)
+
     # repetitions run ON DEVICE (one dispatch): the tunneled executor's
     # per-call RTT would otherwise dominate sub-ms/frame pipelines.
     # Each rep's input depends on the carry so XLA cannot hoist it.
@@ -167,7 +198,7 @@ def main(argv=None) -> None:
             def body(_, acc):
                 jitter = ((jnp.arange(ns) + acc.astype(jnp.int32)) % 3
                           ).astype(jnp.uint8)[:, None, None, None]
-                _, trs = jax.vmap(e2e)(images[None] + jitter, states)
+                _, trs = e2e_fleet(images[None] + jitter, states)
                 return acc + trs.sum()
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 

@@ -760,6 +760,36 @@ def detect_or_track(image: jnp.ndarray, corners: jnp.ndarray,
     return jax.lax.cond(do_full, full, track, None)
 
 
+def detect_or_track_batch(images: jnp.ndarray, corners: jnp.ndarray,
+                          mask: jnp.ndarray, velocity: jnp.ndarray,
+                          do_full: jnp.ndarray, cfg: DetectorConfig
+                          ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                     jnp.ndarray]:
+    """Streaming step for a FLEET of video streams (S leading axis)
+    sharing one full/track schedule. `do_full` must be a SCALAR (e.g.
+    ``i % K < 2`` — the same for every stream): keeping the predicate
+    unbatched keeps the branch a real `lax.cond`, whereas vmapping
+    `detect_or_track` with per-stream predicates lowers the cond to a
+    select that executes BOTH branches every frame (full detection
+    always runs — tracking saves nothing). The cost: no per-stream
+    "lost everything" early re-acquisition; a dropped stream waits for
+    the next scheduled full sweep."""
+
+    def full(_):
+        det = detect_markers_batch(images, cfg)
+        return (det.corners, det.mask,
+                jax.vmap(track_velocity)(det.corners, det.mask,
+                                         corners, mask))
+
+    def track(_):
+        nc, nm = jax.vmap(
+            lambda im, c, m, v: track_markers(im, c, m, cfg, v)
+        )(images, corners, mask, velocity)
+        return nc, nm, jax.vmap(track_velocity)(nc, nm, corners, mask)
+
+    return jax.lax.cond(do_full, full, track, None)
+
+
 def track_velocity(new_c: jnp.ndarray, new_m: jnp.ndarray,
                    old_c: jnp.ndarray, old_m: jnp.ndarray
                    ) -> jnp.ndarray:
