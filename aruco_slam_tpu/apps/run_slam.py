@@ -60,25 +60,15 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     if ke:
         # streaming front end: the chunk runs as ONE scan whose carry
         # (corners, mask, velocity, frame index) crosses chunk
-        # boundaries via `track_cr`
+        # boundaries via `track_cr`; schedule = the shared
+        # ops/detect.streaming_step (full on 2 bootstrap frames per
+        # period + immediate re-acquire when tracking empties)
         @jax.jit
         def tracked_chunk(cr, ims):
-            def step(cr, im):
-                c, m, v, i = cr
-                # full sweep on the bootstrap frames of each period,
-                # and immediately when tracking lost everything (all
-                # markers left frame / motion spike) instead of
-                # waiting out the period blind
-                do_full = ((i % ke) < 2) | ~m.any()
-                c, m, v = detect.detect_or_track(
-                    im, c, m, v, do_full, dcfg)
-                return (c, m, v, i + 1), (c, m)
-            return jax.lax.scan(step, cr, ims)
+            return jax.lax.scan(detect.streaming_step(dcfg, ke),
+                                cr, ims)
 
-        track_cr = [(jnp.zeros((cfg.capacity, 4, 2), jnp.float32),
-                     jnp.zeros(cfg.capacity, bool),
-                     jnp.zeros((cfg.capacity, 4, 2), jnp.float32),
-                     jnp.int32(0))]
+        track_cr = [detect.streaming_init(dcfg)]
 
     def flush():
         n = len(buf)

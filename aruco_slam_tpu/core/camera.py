@@ -126,14 +126,24 @@ def undistort_image(cam: CameraModel, img: jnp.ndarray) -> jnp.ndarray:
             cam, jnp.stack([uu, vv], -1))))
     x, y = src[..., 0], src[..., 1]
     inside = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    out = bilinear_sample(imgf, x, y)
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        out = jnp.round(out)  # truncation would bias ~0.5 level dark
+    return jnp.where(inside, out, 0.0).astype(img.dtype)
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Bilinear sample of a single-channel image (H, W) at float
+    coordinates (clamped to the valid interior)."""
+    h, w = img.shape
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
-    v00 = imgf[y0, x0]
-    v01 = imgf[y0, x0 + 1]
-    v10 = imgf[y0 + 1, x0]
-    v11 = imgf[y0 + 1, x0 + 1]
-    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-           + fy * ((1 - fx) * v10 + fx * v11))
-    return jnp.where(inside, out, 0.0).astype(img.dtype)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))

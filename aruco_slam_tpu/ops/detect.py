@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aruco_slam_tpu.core.camera import bilinear_sample as _bilinear
 from aruco_slam_tpu.ops import dictionary as dict_mod
 
 
@@ -380,18 +381,6 @@ def _homography_cells(corners: jnp.ndarray, cells: int) -> jnp.ndarray:
     return jax.vmap(one)(corners)
 
 
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    h, w = img.shape
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
-    fx = jnp.clip(x - x0, 0.0, 1.0)
-    fy = jnp.clip(y - y0, 0.0, 1.0)
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-            + fy * ((1 - fx) * v10 + fx * v11))
 
 
 def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
@@ -788,6 +777,48 @@ def detect_or_track_batch(images: jnp.ndarray, corners: jnp.ndarray,
         return nc, nm, jax.vmap(track_velocity)(nc, nm, corners, mask)
 
     return jax.lax.cond(do_full, full, track, None)
+
+
+def streaming_init(cfg: DetectorConfig, streams: int | None = None):
+    """Initial (corners, mask, velocity, frame index) carry for a
+    `lax.scan` over `streaming_step`."""
+    lead = () if streams is None else (streams,)
+    return (jnp.zeros(lead + (cfg.capacity, 4, 2), jnp.float32),
+            jnp.zeros(lead + (cfg.capacity,), bool),
+            jnp.zeros(lead + (cfg.capacity, 4, 2), jnp.float32),
+            jnp.int32(0))
+
+
+def streaming_step(cfg: DetectorConfig, track_every: int,
+                   streams: int | None = None):
+    """The ONE definition of the detect-every-K scan step, shared by
+    the drivers and benches so the schedule cannot drift between them.
+
+    Returns a `lax.scan` step over frames with carry (corners, mask,
+    velocity, i): full sweep on the 2 bootstrap frames of every
+    `track_every`-frame period, validated tracking in between.
+
+    streams=None (single stream): the schedule also forces a full
+    sweep the moment tracking has nothing left (all markers left frame
+    / motion spike) instead of running out the period blind.
+    streams=S (fleet, frames shaped (S, H, W)): the predicate must
+    stay SCALAR so the full/track choice remains a real `lax.cond`
+    (see detect_or_track_batch) — no per-stream rescue; a dropped
+    stream waits for the next scheduled sweep.
+    """
+    ke = track_every
+
+    def step(cr, im):
+        c, m, v, i = cr
+        do_full = (i % ke) < 2
+        if streams is None:
+            c, m, v = detect_or_track(im, c, m, v,
+                                      do_full | ~m.any(), cfg)
+        else:
+            c, m, v = detect_or_track_batch(im, c, m, v, do_full, cfg)
+        return (c, m, v, i + 1), (c, m)
+
+    return step
 
 
 def track_velocity(new_c: jnp.ndarray, new_m: jnp.ndarray,

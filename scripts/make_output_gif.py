@@ -30,38 +30,44 @@ def main(argv=None) -> None:
     import imageio.v3 as iio
 
     viz = Path(args.viz_dir)
-    f2d = sorted((viz / "2d").glob("frame_*.png"))[::args.every]
-    f3d = sorted((viz / "3d").glob("map_*.png"))[::args.every]
-    n = min(len(f2d), len(f3d))
-    assert n, f"no frames under {viz}/2d and {viz}/3d"
+    # pair by the frame index in the filename (both exporters write
+    # *_NNNN.png) — the 3D sink may start later or skip frames, and a
+    # positional zip would silently pair different timestamps
+    index = lambda p: int(p.stem.rsplit("_", 1)[-1])
+    f2d = {index(p): p for p in (viz / "2d").glob("frame_*.png")}
+    f3d = {index(p): p for p in (viz / "3d").glob("map_*.png")}
+    common = sorted(f2d.keys() & f3d.keys())[::args.every]
+    assert common, f"no paired frames under {viz}/2d and {viz}/3d"
 
-    frames = []
-    for a, b in zip(f3d[:n], f2d[:n]):
-        top = iio.imread(a)
-        bot = iio.imread(b)
-        if top.ndim == 2:
-            top = np.stack([top] * 3, -1)
-        if bot.ndim == 2:
-            bot = np.stack([bot] * 3, -1)
-        top = top[..., :3]
-        bot = bot[..., :3]
-        s = args.scale
-        top = top[::s, ::s]
-        bot = bot[::s, ::s]
-        w = max(top.shape[1], bot.shape[1])
+    s = args.scale
+    raw = []
+    for i in common:
+        pair = []
+        for path in (f3d[i], f2d[i]):
+            im = iio.imread(path)
+            if im.ndim == 2:
+                im = np.stack([im] * 3, -1)
+            pair.append(im[::s, ::s, :3])
+        raw.append(pair)
+    # pad every panel to the GLOBAL max size (per-frame sizes can vary
+    # e.g. when a live window was resized), centered on white
+    wmax = max(im.shape[1] for pair in raw for im in pair)
+    hmax = [max(p[j].shape[0] for p in raw) for j in range(2)]
 
-        def pad(im):  # center horizontally on white
-            left = (w - im.shape[1]) // 2
-            return np.pad(im, ((0, 0), (left, w - im.shape[1] - left),
-                               (0, 0)), constant_values=255)
+    def pad(im, hm):
+        left = (wmax - im.shape[1]) // 2
+        return np.pad(im, ((0, hm - im.shape[0]),
+                           (left, wmax - im.shape[1] - left), (0, 0)),
+                      constant_values=255)
 
-        frames.append(np.concatenate([pad(top), pad(bot)], axis=0))
+    frames = [np.concatenate([pad(top, hmax[0]), pad(bot, hmax[1])],
+                             axis=0) for top, bot in raw]
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     iio.imwrite(out, np.stack(frames), duration=1000.0 / args.fps,
                 loop=0)
-    print(f"wrote {out}: {n} frames {frames[0].shape[1]}x"
+    print(f"wrote {out}: {len(common)} frames {frames[0].shape[1]}x"
           f"{frames[0].shape[0]}")
 
 
