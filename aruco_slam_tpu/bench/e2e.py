@@ -49,6 +49,13 @@ def main(argv=None) -> None:
                         "(full pixels->pose pipeline vmapped over the "
                         "stream axis; BASELINE config 5 shape). "
                         "Reports aggregate and per-stream fps")
+    p.add_argument("--degrade", default=None,
+                   choices=["blur", "noise", "combined"],
+                   help="degrade the rendered frames host-side "
+                        "(bench/degrade.py) before measuring — the "
+                        "conditions the robust multi-pass sweep "
+                        "exists for; detection quality shows up in "
+                        "mean_detections_per_frame")
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
@@ -83,6 +90,14 @@ def main(argv=None) -> None:
         traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
     t0 = time.perf_counter()
     frames = render_sequence(scene, traj, cam, image_size=(1920, 1080))
+    if args.degrade:
+        from aruco_slam_tpu.bench import degrade
+        kw = {"blur": dict(blur_sigma=1.5),
+              "noise": dict(noise_sigma=8.0),
+              "combined": dict(blur_sigma=1.0, noise_sigma=6.0,
+                               vignette_strength=0.4)}[args.degrade]
+        frames = np.stack([degrade.degrade(f, seed=i, **kw)
+                           for i, f in enumerate(frames)])
     print(f"# rendered {args.frames} frames in "
           f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
 
@@ -229,6 +244,8 @@ def main(argv=None) -> None:
         "detector": args.detector,
         **flops_metrics((flops or 0) * ns or None, dt),
     }
+    if args.degrade:
+        row["degrade"] = args.degrade
     if ns > 1:
         row["streams"] = ns
         row["per_stream_fps"] = round(fps / ns, 1)
