@@ -63,6 +63,9 @@ def main(argv=None) -> None:
                    help="streaming detection for image/video input "
                         "(see run_slam --track-every); 0 = full "
                         "detection every frame")
+    p.add_argument("--detector", default=dflt.detector,
+                   choices=["robust", "fast"],
+                   help="full-sweep preset (see run_slam --detector)")
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
@@ -79,7 +82,8 @@ def main(argv=None) -> None:
                         viz_2d=args.viz_2d, viz_3d=args.viz_3d,
                         viz_dir=args.viz_dir,
                         export_video=args.export_video,
-                        track_every=args.track_every)
+                        track_every=args.track_every,
+                        detector=args.detector)
     if is_video(cfg.input):
         src = None
         times, t_cl, q_cl, mask, cam, _amb = load_video_observations(

@@ -52,8 +52,9 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     zero-padded to the chunk size so the whole video runs one compiled
     program (a new batch shape would recompile the detector)."""
     from aruco_slam_tpu.ops import detect
-    dcfg = detect.DetectorConfig(capacity=cfg.capacity,
-                                 dict_name=cfg.dict_name)
+    dcfg = detect.DetectorConfig(
+        capacity=cfg.capacity, dict_name=cfg.dict_name,
+        passes=((15, 4),) if cfg.detector == "fast" else None)
     times, buf, outs = [], [], []
 
     ke = cfg.track_every
@@ -400,6 +401,12 @@ def main(argv=None) -> None:
                    help="directory with camera_matrix.npy + "
                         "dist_coeffs.npy (video input; the reference's "
                         "calibration artifacts)")
+    p.add_argument("--detector", default=dflt.detector,
+                   choices=["robust", "fast"],
+                   help="full-sweep preset for image inputs: robust = "
+                        "3-pass (window x scale) candidate sweep; "
+                        "fast = single coarse pass (~3x cheaper, "
+                        "clean scenes)")
     p.add_argument("--track-every", type=int, default=dflt.track_every,
                    metavar="K",
                    help="streaming detection for image/video input: "
@@ -483,7 +490,8 @@ def main(argv=None) -> None:
         huber_delta=args.huber_delta,
         max_obs=args.max_obs,
         dict_name=args.dict_name,
-        track_every=args.track_every)
+        track_every=args.track_every,
+        detector=args.detector)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3 (2 full frames bootstrap "
                 "the velocity prior)")

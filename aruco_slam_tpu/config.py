@@ -33,6 +33,11 @@ class SlamAppConfig:
     # (ops/detect.detect_or_track) — several times cheaper per frame
     # on video-rate input, new markers acquired at the next full pass
     track_every: int = 0
+    # full-sweep preset: "robust" = the 3-pass (window x scale)
+    # candidate sweep (survives blur/noise/clutter — the analog of the
+    # reference's adaptiveThreshWinSize 3-30 sweep); "fast" = single
+    # coarse pass, ~3x cheaper, for clean well-lit scenes
+    detector: str = "robust"
     # camera fallback (the reference's calibration artifacts,
     # calibration/camera_matrix.npy + dist_coeffs.npy)
     camera_matrix: np.ndarray = dataclasses.field(
