@@ -66,6 +66,9 @@ def main(argv=None) -> None:
     p.add_argument("--detector", default=dflt.detector,
                    choices=["robust", "fast"],
                    help="full-sweep preset (see run_slam --detector)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace of the "
+                        "solve to DIR (view with XProf/TensorBoard)")
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
@@ -104,19 +107,27 @@ def main(argv=None) -> None:
                        odom_sigma_rot=cfg.odom_sigma_rot,
                        with_rotations=args.ba_rotations)
     state = init_graph(gcfg)
+    import contextlib
+    trace_ctx = contextlib.nullcontext()
+    if args.profile:
+        from aruco_slam_tpu.utils.profiling import device_trace
+        trace_ctx = device_trace(args.profile)
     t0 = time.perf_counter()
-    for i in range(t):
-        # pass 1: ingest with a cheap incremental window solve — the
-        # warm start the reference gets from running ISAM2 during its
-        # first pass (reference main/run_offline.py:86-94); batch LM
-        # from the raw zero-motion init stalls far from the optimum
-        state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
-                          jnp.asarray(mask[i]),
-                          jnp.asarray(q_cl[i])
-                          if args.ba_rotations else None)
-        state, _ = optimize_window(gcfg, state, window=cfg.window,
-                                   iters=cfg.window_iters)
-    state, cost = batch_optimize(gcfg, state, iters=cfg.batch_iters)
+    with trace_ctx:
+        for i in range(t):
+            # pass 1: ingest with a cheap incremental window solve —
+            # the warm start the reference gets from running ISAM2
+            # during its first pass (reference
+            # main/run_offline.py:86-94); batch LM from the raw
+            # zero-motion init stalls far from the optimum
+            state = add_frame(gcfg, state, jnp.asarray(t_cl[i]),
+                              jnp.asarray(mask[i]),
+                              jnp.asarray(q_cl[i])
+                              if args.ba_rotations else None)
+            state, _ = optimize_window(gcfg, state, window=cfg.window,
+                                       iters=cfg.window_iters)
+        state, cost = batch_optimize(gcfg, state,
+                                     iters=cfg.batch_iters)
     dt = time.perf_counter() - t0
     print(f"batch solve: {t} poses, {int(state.f_count)} factors, "
           f"{cfg.batch_iters} LM iters in {dt:.2f}s "
