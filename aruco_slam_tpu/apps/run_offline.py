@@ -15,6 +15,7 @@ import argparse
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from aruco_slam_tpu.config import SlamAppConfig
@@ -73,7 +74,6 @@ def main(argv=None) -> None:
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
 
     cfg = SlamAppConfig(input=args.input,
@@ -106,14 +106,10 @@ def main(argv=None) -> None:
                        odom_sigma_t=cfg.odom_sigma_t,
                        odom_sigma_rot=cfg.odom_sigma_rot,
                        with_rotations=args.ba_rotations)
+    from aruco_slam_tpu.utils.profiling import device_trace
     state = init_graph(gcfg)
-    import contextlib
-    trace_ctx = contextlib.nullcontext()
-    if args.profile:
-        from aruco_slam_tpu.utils.profiling import device_trace
-        trace_ctx = device_trace(args.profile)
     t0 = time.perf_counter()
-    with trace_ctx:
+    with device_trace(args.profile):
         for i in range(t):
             # pass 1: ingest with a cheap incremental window solve —
             # the warm start the reference gets from running ISAM2
@@ -128,6 +124,10 @@ def main(argv=None) -> None:
                                        iters=cfg.window_iters)
         state, cost = batch_optimize(gcfg, state,
                                      iters=cfg.batch_iters)
+        # sync INSIDE the trace (and before reading the clock): the
+        # solve dispatches asynchronously, so without this the trace
+        # stops and dt is read while the device is still solving
+        jax.block_until_ready(cost)
     dt = time.perf_counter() - t0
     print(f"batch solve: {t} poses, {int(state.f_count)} factors, "
           f"{cfg.batch_iters} LM iters in {dt:.2f}s "

@@ -52,9 +52,10 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     zero-padded to the chunk size so the whole video runs one compiled
     program (a new batch shape would recompile the detector)."""
     from aruco_slam_tpu.ops import detect
-    dcfg = detect.DetectorConfig(
-        capacity=cfg.capacity, dict_name=cfg.dict_name,
-        passes=((15, 4),) if cfg.detector == "fast" else None)
+    dcfg = detect.with_preset(
+        detect.DetectorConfig(capacity=cfg.capacity,
+                              dict_name=cfg.dict_name),
+        cfg.detector)
     times, buf, outs = [], [], []
 
     ke = cfg.track_every
@@ -506,12 +507,8 @@ def main(argv=None) -> None:
     from aruco_slam_tpu.apps import sinks
     viewers = sinks.build_viewers(cfg, cam, src, display=args.display)
 
-    import contextlib
-    trace_ctx = contextlib.nullcontext()
-    if args.profile:
-        from aruco_slam_tpu.utils.profiling import device_trace
-        trace_ctx = device_trace(args.profile)
-    with trace_ctx:
+    from aruco_slam_tpu.utils.profiling import device_trace
+    with device_trace(args.profile):
         if cfg.filter in ("mekf", "mekf_rotations"):
             cam_traj, active, lm, unc = run_mekf(
                 cfg, times, t_cl, q_cl, mask, cam,

@@ -90,21 +90,23 @@ def main(argv=None) -> None:
         traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
     t0 = time.perf_counter()
     frames = render_sequence(scene, traj, cam, image_size=(1920, 1080))
+    print(f"# rendered {args.frames} frames in "
+          f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
     if args.degrade:
         from aruco_slam_tpu.bench import degrade
         kw = {"blur": dict(blur_sigma=1.5),
               "noise": dict(noise_sigma=8.0),
               "combined": dict(blur_sigma=1.0, noise_sigma=6.0,
                                vignette_strength=0.4)}[args.degrade]
+        t0 = time.perf_counter()
         frames = np.stack([degrade.degrade(f, seed=i, **kw)
                            for i, f in enumerate(frames)])
-    print(f"# rendered {args.frames} frames in "
-          f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
+        print(f"# degraded ({args.degrade}) in "
+              f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
 
     capacity = 64
-    dcfg = detect.DetectorConfig(capacity=capacity)
-    if args.detector == "fast":
-        dcfg = dcfg._replace(passes=((15, 4),))
+    dcfg = detect.with_preset(detect.DetectorConfig(capacity=capacity),
+                              args.detector)
     fcfg = MekfConfig(capacity=capacity)
     state0 = init_state(fcfg)
     marker_size = scene.marker_size

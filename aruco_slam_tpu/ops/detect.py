@@ -779,6 +779,19 @@ def detect_or_track_batch(images: jnp.ndarray, corners: jnp.ndarray,
     return jax.lax.cond(do_full, full, track, None)
 
 
+def with_preset(cfg: DetectorConfig, preset: str) -> DetectorConfig:
+    """Resolve a named full-sweep preset: "robust" = the multi-pass
+    (window x scale) candidate sweep (cfg unchanged — `passes=None`
+    auto-derives it), "fast" = the single coarse pass, built from the
+    SAME thresh_win/downscale knobs so tuning them keeps the presets
+    consistent everywhere (drivers + benches share this helper)."""
+    if preset == "robust":
+        return cfg
+    if preset == "fast":
+        return cfg._replace(passes=((cfg.thresh_win, cfg.downscale),))
+    raise ValueError(f"unknown detector preset {preset!r}")
+
+
 def streaming_init(cfg: DetectorConfig, streams: int | None = None):
     """Initial (corners, mask, velocity, frame index) carry for a
     `lax.scan` over `streaming_step`."""

@@ -47,8 +47,14 @@ class StageTimer:
 
 
 @contextlib.contextmanager
-def device_trace(logdir: str):
-    """jax.profiler trace context (view with TensorBoard/XProf)."""
+def device_trace(logdir: str | None):
+    """jax.profiler trace context (view with TensorBoard/XProf).
+
+    A falsy logdir is a no-op, so call sites can write
+    ``with device_trace(args.profile):`` unconditionally."""
+    if not logdir:
+        yield
+        return
     jax.profiler.start_trace(logdir)
     try:
         yield
