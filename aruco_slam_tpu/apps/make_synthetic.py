@@ -22,11 +22,19 @@ def build(frames=300, markers=12, capacity=64, seed=0, noise_px=0.0,
           noise_t=0.0, noise_r=0.0, fov_limit=0.75,
           camera_matrix=None, dist_coeffs=None, marker_size=0.16,
           with_images=False, image_size=(1920, 1080),
-          orbit_frames=None):
+          orbit_frames=None, dict_name="dict_5x5_50",
+          marker_ids=None):
     """orbit_frames: length of the FULL orbit the `frames` output
     frames are sliced from (defaults to `frames` — one whole orbit).
     Set larger (e.g. 10x frames) for video-rate inter-frame motion,
-    the regime the streaming tracker (--track-every) expects."""
+    the regime the streaming tracker (--track-every) expects.
+
+    dict_name / marker_ids control what the RENDERED images carry
+    (scene marker j shows dictionary id marker_ids[j]; default j) —
+    e.g. dict_5x5_1000 ids around 900 exercise the id->slot table
+    (run_slam needs no capacity inflation for sparse high ids). The
+    corner-/pose-level arrays stay indexed by scene marker, so only
+    image-domain consumers see the dictionary ids."""
     k = camera_matrix if camera_matrix is not None else np.array(
         [[1414.9, 0.0, 967.0], [0.0, 1414.9, 544.3], [0.0, 0.0, 1.0]])
     d = dist_coeffs if dist_coeffs is not None else np.array(
@@ -57,7 +65,9 @@ def build(frames=300, markers=12, capacity=64, seed=0, noise_px=0.0,
     if with_images:
         from aruco_slam_tpu.bench.render import render_sequence
         out["images"] = render_sequence(scene, traj, cam,
-                                        image_size=image_size)
+                                        image_size=image_size,
+                                        dict_name=dict_name,
+                                        marker_ids=marker_ids)
     return out
 
 
@@ -73,6 +83,14 @@ def main(argv=None) -> None:
     p.add_argument("--noise-r", type=float, default=0.0)
     p.add_argument("--images", action="store_true",
                    help="render grayscale frames (slower, larger)")
+    p.add_argument("--dict", dest="dict_name", default="dict_5x5_50",
+                   help="marker dictionary for rendered images "
+                        "(ops/dictionary.names())")
+    p.add_argument("--id-offset", type=int, default=0,
+                   help="rendered marker j carries dictionary id "
+                        "offset+j (high offsets exercise the id->slot "
+                        "table: run_slam --dict needs no capacity "
+                        "inflation)")
     p.add_argument("--video-rate", action="store_true",
                    help="slice the frames from a 10x-longer orbit so "
                         "inter-frame motion is video-rate (what "
@@ -91,7 +109,10 @@ def main(argv=None) -> None:
                    noise_px=args.noise_px, noise_t=args.noise_t,
                    noise_r=args.noise_r, with_images=args.images,
                    orbit_frames=(10 * args.frames if args.video_rate
-                                 else None))
+                                 else None),
+                   dict_name=args.dict_name,
+                   marker_ids=(np.arange(args.markers) + args.id_offset
+                               if args.id_offset else None))
     sources.save_npz(args.out, **bundle)
     print(f"wrote {args.out}: {args.frames} frames, "
           f"{args.markers} markers"

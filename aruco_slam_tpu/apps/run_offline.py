@@ -7,6 +7,24 @@ smoothed per-iteration estimates (reference main/run_offline.py:86-142,
 filters/factor_graph.py:327-345).
 
     python -m aruco_slam_tpu.apps.run_offline --input seq.npz
+
+Distributed modes (the reference is single-threaded; this is the
+product surface of parallel/dist.py + parallel/sharded_ba.py):
+
+    # one machine, N OS processes joined over Gloo/ICI — the solve
+    # runs landmark-sharded over the global mesh, process 0 writes
+    python -m aruco_slam_tpu.apps.run_offline --input seq.npz \
+        --processes 2 --local-devices 2 --platform cpu
+
+    # TPU pod: the pod runtime starts one process per host; each
+    # calls this with --distributed (jax.distributed autodetects)
+    python -m aruco_slam_tpu.apps.run_offline --input seq.npz \
+        --distributed
+
+    # fleet of sequences on a 2-D ('data','kf') mesh: each sequence's
+    # landmarks shard over kf, sequences are data-parallel
+    python -m aruco_slam_tpu.apps.run_offline \
+        --input a.npz,b.npz,c.npz,d.npz --fleet 4x2
 """
 
 from __future__ import annotations
@@ -70,6 +88,18 @@ def main(argv=None) -> None:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace of the "
                         "solve to DIR (view with XProf/TensorBoard)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   metavar="N",
+                   help="persist the graph + ingest index every N "
+                        "pass-1 frames (0 = off); a killed run "
+                        "resumes instead of re-ingesting everything")
+    p.add_argument("--checkpoint", default="outputs/checkpoint.npz",
+                   help="checkpoint file path")
+    p.add_argument("--resume", default=None,
+                   help="resume pass 1 from a checkpoint (bit-exact, "
+                        "tests/test_io_apps.py); a checkpoint taken "
+                        "after ingest completed skips straight to the "
+                        "batch solve")
     args = p.parse_args(argv)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3")
@@ -89,11 +119,12 @@ def main(argv=None) -> None:
                         detector=args.detector)
     if is_video(cfg.input):
         src = None
-        times, t_cl, q_cl, mask, cam, _amb = load_video_observations(
-            cfg, args.calib)
+        times, t_cl, q_cl, mask, cam, _amb, slot_ids = \
+            load_video_observations(cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam, _amb = load_observations(src, cfg)
+        times, t_cl, q_cl, mask, cam, _amb, slot_ids = \
+            load_observations(src, cfg)
 
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],
@@ -108,9 +139,16 @@ def main(argv=None) -> None:
                        with_rotations=args.ba_rotations)
     from aruco_slam_tpu.utils.profiling import device_trace
     state = init_graph(gcfg)
+    start = 0
+    if args.resume:
+        from aruco_slam_tpu.utils.checkpoint import load_checkpoint
+        state, fdone = load_checkpoint(args.resume,
+                                       (state, np.int64(0)))
+        start = int(fdone)
+        print(f"resumed from {args.resume} at ingest frame {start}")
     t0 = time.perf_counter()
     with device_trace(args.profile):
-        for i in range(t):
+        for i in range(start, t):
             # pass 1: ingest with a cheap incremental window solve —
             # the warm start the reference gets from running ISAM2
             # during its first pass (reference
@@ -122,6 +160,12 @@ def main(argv=None) -> None:
                               if args.ba_rotations else None)
             state, _ = optimize_window(gcfg, state, window=cfg.window,
                                        iters=cfg.window_iters)
+            if args.checkpoint_every and i + 1 < t \
+                    and (i + 1) % args.checkpoint_every == 0:
+                from aruco_slam_tpu.utils.checkpoint import \
+                    save_checkpoint
+                save_checkpoint(args.checkpoint,
+                                (state, np.int64(i + 1)))
         state, cost = batch_optimize(gcfg, state,
                                      iters=cfg.batch_iters)
         # sync INSIDE the trace (and before reading the clock): the
@@ -146,7 +190,9 @@ def main(argv=None) -> None:
                      state.lm_active, t_cl, q_cl, mask)
 
     active = np.asarray(state.lm_active)
-    ids = np.where(active)[0]
+    slots = np.where(active)[0]
+    # id->slot table inputs record TRUE marker ids in the map file
+    ids = slot_ids[slots] if slot_ids is not None else slots
     cov = np.asarray(landmark_covariances(gcfg, state))
     unc = np.diagonal(cov, axis1=-2, axis2=-1)
     lm_out = np.asarray(state.lm)
@@ -155,7 +201,7 @@ def main(argv=None) -> None:
         # reference's rotation filter persists (its 10-dim landmark
         # block, reference filters/ekf_with_rotations.py:38)
         lm_out = np.concatenate([lm_out, np.asarray(state.lm_q)], 1)
-    save_map(cfg.map_file, ids, lm_out[ids], unc[ids])
+    save_map(cfg.map_file, ids, lm_out[slots], unc[slots])
     print(f"wrote {cfg.trajectory_file} ({t} poses), "
           f"{cfg.map_file} ({len(ids)} landmarks)")
     if src is not None and src.has("gt_cam_t"):

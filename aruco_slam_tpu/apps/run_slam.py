@@ -45,6 +45,15 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     """Image-domain front end over a (timestamp, gray) iterator:
     batched detection + PnP in fixed-size chunks.
 
+    Slots are decoupled from marker ids by an id->slot table
+    (ops/detect.detect_markers_mapped): slots are claimed in
+    first-seen order, so ``cfg.capacity`` bounds the number of
+    DISTINCT MARKERS PRESENT — dict_5x5_1000 or apriltag_36h11 runs
+    need no capacity inflation (the reference keys landmarks by
+    encounter order the same way, reference
+    filters/extended_kalman_filter.py:239-290). The final table
+    (slot -> marker id) is returned so the map file records true ids.
+
     Pipelined by construction: each chunk's detect+PnP is DISPATCHED
     (JAX async) and the loop immediately goes back to decoding the
     next chunk on the host — host video decode and device detection
@@ -57,20 +66,21 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
                               dict_name=cfg.dict_name),
         cfg.detector)
     times, buf, outs = [], [], []
+    table = [detect.slot_table_init(dcfg.capacity)]
 
     ke = cfg.track_every
     if ke:
         # streaming front end: the chunk runs as ONE scan whose carry
-        # (corners, mask, velocity, frame index) crosses chunk
-        # boundaries via `track_cr`; schedule = the shared
-        # ops/detect.streaming_step (full on 2 bootstrap frames per
-        # period + immediate re-acquire when tracking empties)
+        # (corners, mask, velocity, id->slot table, frame index)
+        # crosses chunk boundaries via `track_cr`; schedule = the
+        # shared ops/detect.streaming_step (full on 2 bootstrap frames
+        # per period + immediate re-acquire when tracking empties)
         @jax.jit
         def tracked_chunk(cr, ims):
-            return jax.lax.scan(detect.streaming_step(dcfg, ke),
-                                cr, ims)
+            return jax.lax.scan(
+                detect.streaming_step(dcfg, ke, mapped=True), cr, ims)
 
-        track_cr = [detect.streaming_init(dcfg)]
+        track_cr = [detect.streaming_init(dcfg, mapped=True)]
 
     def flush():
         n = len(buf)
@@ -81,11 +91,11 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
         ims = jnp.asarray(np.stack(buf))
         if ke:
             track_cr[0], (det_c, det_m) = tracked_chunk(track_cr[0], ims)
-            det = detect.Detections(det_c, det_m, None, None, None)
         else:
-            det = detect.detect_markers_batch(ims, dcfg)
-        res = pnp.solve_square_pnp(cam, det.corners, cfg.marker_size)
-        mask = det.mask & (res.err < cfg.max_reproj_px)
+            det_c, det_m, table[0] = detect.detect_markers_batch_mapped(
+                ims, dcfg, table[0])
+        res = pnp.solve_square_pnp(cam, det_c, cfg.marker_size)
+        mask = det_m & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
         # device arrays, not np: keep the dispatch asynchronous
         outs.append((res.t_cl, res.q_cl, mask, amb, n))
@@ -101,7 +111,9 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
         raise ValueError("no decodable frames")
     cat = lambda i: np.concatenate(
         [np.asarray(o[i])[:o[4]] for o in outs])
-    return (np.asarray(times), cat(0), cat(1), cat(2), cam, cat(3))
+    slot_ids = np.asarray(track_cr[0][3] if ke else table[0])
+    return (np.asarray(times), cat(0), cat(1), cat(2), cam, cat(3),
+            slot_ids)
 
 
 def load_camera(cfg: SlamAppConfig, calib_dir=None):
@@ -150,7 +162,10 @@ def load_video_observations(cfg: SlamAppConfig, calib_dir=None):
 
 
 def load_observations(src: NpzSource, cfg: SlamAppConfig):
-    """Return (times, t_cl (T,C,3), q_cl (T,C,4), mask (T,C), cam)."""
+    """Return (times, t_cl (T,C,3), q_cl (T,C,4), mask (T,C), cam,
+    ambiguity, slot_ids). ``slot_ids`` maps slot -> marker id for
+    image-domain inputs (the id->slot table); None for corner-/pose-
+    level bundles, whose slot index IS the marker id."""
     k = src["camera_matrix"] if src.has("camera_matrix") \
         else cfg.camera_matrix
     d = src["dist_coeffs"] if src.has("dist_coeffs") else cfg.dist_coeffs
@@ -169,10 +184,10 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
             & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
         return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
-                np.asarray(mask), cam, np.asarray(amb))
+                np.asarray(mask), cam, np.asarray(amb), None)
     if src.has("t_cl"):
         return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam,
-                None)
+                None, None)
     raise ValueError(
         f"{src.path}: no 'images', 'corners', or 't_cl' observations")
 
@@ -180,7 +195,7 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
 def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
              with_rotations: bool, viewers=(), load_map_file=None,
              ambiguity=None, ckpt_every: int = 0, ckpt_path=None,
-             resume=None):
+             resume=None, slot_ids=None):
     # auto-size the update compaction width to this sequence: frames
     # observing more than max_obs slots would silently drop the extras
     # (filters/mekf.py measurement compaction)
@@ -212,7 +227,22 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         from aruco_slam_tpu.io import load_map as _load
         from aruco_slam_tpu.filters.mekf import preload_map
         ids, pos, unc = _load(load_map_file)
-        state = preload_map(fcfg, state, ids, pos, unc)
+        if slot_ids is not None:
+            # id->slot layout: translate the map's marker ids to this
+            # run's slots; map landmarks the sequence never observed
+            # have no slot and are skipped (they could not receive an
+            # update anyway)
+            lut = {int(mid): s for s, mid in enumerate(slot_ids)
+                   if mid >= 0}
+            keep = [j for j in range(len(ids)) if int(ids[j]) in lut]
+            if len(keep) < len(ids):
+                print(f"load-map: {len(ids) - len(keep)} landmarks "
+                      "not observed in this sequence; skipped")
+            pos, unc = pos[keep], unc[keep]
+            ids = np.array([lut[int(ids[j])] for j in keep],
+                           np.int64)
+        if len(ids):
+            state = preload_map(fcfg, state, ids, pos, unc)
     seq = FrameObservations(
         jnp.asarray(t_cl), jnp.asarray(q_cl), jnp.asarray(mask),
         None if ambiguity is None else jnp.asarray(ambiguity))
@@ -251,6 +281,7 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         print(f"fused scan: {done} frames in {dt:.3f}s "
               f"({done / dt:.1f} fps)")
     else:
+        from aruco_slam_tpu.apps import sinks
         for i in range(start, tt):
             state = mekf_step(fcfg, state, FrameObservations(
                 seq.t_cl[i], seq.q_cl[i], seq.mask[i],
@@ -258,6 +289,11 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
             cam_traj[i] = np.asarray(mekf_mod.camera_pose(state))
             _feed_viewers(viewers, cam_traj[i], state.lm,
                           state.active, t_cl[i], q_cl[i], mask[i])
+            if sinks.stop_requested(viewers):
+                # the live window's 'q': end the RUN, like the
+                # reference's loop break (reference main/run_slam.py:127-141)
+                cam_traj = cam_traj[:i + 1]
+                break
             if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < tt:
                 checkpoint(i + 1)
     unc = np.asarray(mekf_mod.landmark_uncertainties(fcfg, state))
@@ -338,6 +374,9 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                                      np.asarray(traj_parts[-1][1])])
             _feed_viewers(viewers, pose_i, state.lm,
                           state.lm_active, t_cl[i], q_cl[i], mask[i])
+            from aruco_slam_tpu.apps import sinks
+            if sinks.stop_requested(viewers):
+                break  # live window 'q' ends the run
         if ckpt_every and ckpt_path and (i + 1) % ckpt_every == 0 \
                 and i + 1 < t:
             from aruco_slam_tpu.utils.checkpoint import save_checkpoint
@@ -498,11 +537,12 @@ def main(argv=None) -> None:
                 "the velocity prior)")
     if is_video(cfg.input):
         src = None
-        times, t_cl, q_cl, mask, cam, amb = load_video_observations(
-            cfg, args.calib)
+        times, t_cl, q_cl, mask, cam, amb, slot_ids = \
+            load_video_observations(cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam, amb = load_observations(src, cfg)
+        times, t_cl, q_cl, mask, cam, amb, slot_ids = \
+            load_observations(src, cfg)
 
     from aruco_slam_tpu.apps import sinks
     viewers = sinks.build_viewers(cfg, cam, src, display=args.display)
@@ -515,7 +555,8 @@ def main(argv=None) -> None:
                 with_rotations=(cfg.filter == "mekf_rotations"),
                 viewers=viewers, load_map_file=args.load_map,
                 ambiguity=amb, ckpt_every=args.checkpoint_every,
-                ckpt_path=args.checkpoint, resume=args.resume)
+                ckpt_path=args.checkpoint, resume=args.resume,
+                slot_ids=slot_ids)
         else:
             cam_traj, active, lm, unc = run_factorgraph(
                 cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
@@ -526,16 +567,23 @@ def main(argv=None) -> None:
     for v in viewers:
         v.close()
 
+    if len(cam_traj) < len(times):  # live window 'q' ended the run
+        print(f"quit requested at frame {len(cam_traj)}/{len(times)}")
+        times = times[:len(cam_traj)]
     with TrajectoryWriter(cfg.trajectory_file) as w:
         for ts, pose in zip(times, cam_traj):
             w.write(float(ts), pose)
-    ids = np.where(active)[0]
-    save_map(cfg.map_file, ids, lm[ids], unc[ids])
+    slots = np.where(active)[0]
+    # under the id->slot table the map file records TRUE marker ids
+    # (slot index == id for corner-/pose-level inputs)
+    ids = slot_ids[slots] if slot_ids is not None else slots
+    save_map(cfg.map_file, ids, lm[slots], unc[slots])
     print(f"wrote {cfg.trajectory_file} ({len(times)} poses), "
           f"{cfg.map_file} ({len(ids)} landmarks)")
     if src is not None and src.has("gt_cam_t"):
         from aruco_slam_tpu.bench import ate
-        err = ate.ate_rmse(cam_traj[:, :3], src["gt_cam_t"])
+        err = ate.ate_rmse(cam_traj[:, :3],
+                           src["gt_cam_t"][:len(cam_traj)])
         print(f"ATE vs ground truth: {err:.4f} m")
 
 

@@ -149,6 +149,15 @@ class LiveDisplaySink:
                 pass
 
 
+def stop_requested(viewers) -> bool:
+    """True once any sink asked to end the run — the live window's 'q'
+    key. The reference's driver loop breaks when its 2D viewer returns
+    False on quit (reference main/run_slam.py:127-141,
+    viewers/viewer_2d.py:103-106); the drivers poll this after each
+    frame so --display behaves the same way."""
+    return any(getattr(v, "quit", False) for v in viewers)
+
+
 def build_viewers(cfg: SlamAppConfig, cam, src=None,
                   frame_shape=(1080, 1920), display: bool = False
                   ) -> list:
@@ -173,5 +182,7 @@ def replay(viewers, times, cam_traj, lm, lm_active, t_cl, q_cl, mask
                for j in np.where(np.asarray(mask[i]))[0]]
         for v in viewers:
             v.view_frame(np.asarray(cam_traj[i]), pts, det)
+        if stop_requested(viewers):
+            break
     for v in viewers:
         v.close()

@@ -84,9 +84,15 @@ class DetectorConfig(NamedTuple):
                                   # motion the tracker absorbs (px)
     track_slots: int = 16         # max simultaneously-tracked markers
                                   # (live slots compacted via top_k;
-                                  # 0 = track every slot). Extra
-                                  # visible markers re-acquire at each
-                                  # full sweep instead of tracking
+                                  # 0 = track every slot). With more
+                                  # than track_slots live markers the
+                                  # KEPT set is the lowest slot ids
+                                  # (top_k ties are deterministic), so
+                                  # crowded scenes systematically thin
+                                  # high-id observations on tracked
+                                  # frames; the extras re-acquire at
+                                  # each full sweep. Raise track_slots
+                                  # if uniform coverage matters
     max_hamming: int = 1          # payload correction budget
     border_max_white: int = 2     # tolerated white border cells
     pallas: bool | None = None    # VMEM-resident flood kernel; None =
@@ -409,10 +415,18 @@ def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
     return bits, border.sum(-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
-                   ) -> Detections:
-    """Detect ArUco markers in one grayscale frame (H, W) uint8/f32."""
+def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
+                       ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                  jnp.ndarray, jnp.ndarray]:
+    """Steps 1-6 of the pipeline: the candidate sweep through decode.
+
+    Returns (canon (K,4,2) canonical-order corners, cand_ids (K,)
+    decoded id or -1, decoded (K,) bool, top_score (K,) component
+    area) with K = max_candidates * number of passes. Slot placement
+    (step 7) is separate so both slot layouts — slot == marker id
+    (`detect_markers`) and the id->slot table (`detect_markers_mapped`)
+    — share everything upstream.
+    """
     d = dict_mod.load(cfg.dict_name)
     nbits = d.marker_bits
     cells = nbits + 2
@@ -484,18 +498,20 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
         # bandwidth-bound, pallas_cc.py notes)
         pm = pallas_mode if bg_label <= 300_000 else "off"
         # Fine-downscale passes run at 4x the coarse pixel count and
-        # dominate the 3-pass sweep's cost; they exist only to
-        # SEPARATE components the coarse min-pool bridges, so partial
-        # flood convergence there costs at most a clutter-adjacent
-        # marker the coarse (fully-converged) passes lost anyway —
-        # half the flood effort saves ~20% of the whole robust
-        # detector (measured 5.7 -> 4.7 ms/frame at 1080p) with
-        # recall unchanged on the degraded/clutter suites.
+        # dominate the 3-pass sweep's cost, so they get HALF the
+        # stencil budget. Only prop_iters is halved: convergence on
+        # marker-scale shapes is carried by the segmented scans (the
+        # long-range label transport), and a budget sweep against the
+        # scipy.ndimage oracle shows (prop_iters 12..32, scan_rounds 4)
+        # labels every rotated marker shape up to full frame with a
+        # single label while ANY scan_rounds < 4 splits large markers
+        # (worst split 25 at (24, 2)) — asserted at exactly this
+        # halved budget by tests/test_detect.py
+        # test_flood_converges_on_marker_shapes.
         fine = ds < base_ds
         labels = _connected_components(
             fg, cfg.prop_iters // 2 if fine else cfg.prop_iters,
-            scan_rounds=(max(2, cfg.scan_rounds // 2) if fine
-                         else cfg.scan_rounds),
+            scan_rounds=cfg.scan_rounds,
             pallas_mode=pm)
 
         # Fine-downscale passes exist to SEPARATE components the
@@ -572,9 +588,27 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
 
     canon = jax.vmap(roll_one)(refined, rots)
     cand_ids = jnp.where(decoded, ids, -1)
+    return canon, cand_ids, decoded, top_score
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
+                   ) -> Detections:
+    """Detect ArUco markers in one grayscale frame (H, W) uint8/f32.
+
+    Slot layout: slot == marker id — direct and stable, but it needs
+    ``capacity`` >= max id + 1, which couples state size to the
+    DICTIONARY (dict_5x5_1000 would need 1000 slots for one marker).
+    For large dictionaries use `detect_markers_mapped`, which sizes
+    capacity by the markers actually PRESENT via an id->slot table
+    (the role the reference fills by keying landmarks in encounter
+    order, reference filters/extended_kalman_filter.py:239-290).
+    """
+    canon, cand_ids, decoded, top_score = _detect_candidates(image, cfg)
+    k = canon.shape[0]
 
     # 7. dedup into slot outputs (largest candidate wins per id)
-    slot_c = jnp.zeros((cfg.capacity, 4, 2), img.dtype)
+    slot_c = jnp.zeros((cfg.capacity, 4, 2), canon.dtype)
     slot_mask = jnp.zeros(cfg.capacity, bool)
     slot_score = jnp.zeros(cfg.capacity, jnp.int32)
 
@@ -597,16 +631,118 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
                       cand_valid=decoded)
 
 
+def slot_table_init(capacity: int, streams: int | None = None
+                    ) -> jnp.ndarray:
+    """Fresh id->slot table: (C,) int32 marker id per slot, -1 = free
+    (leading (S,) axis with ``streams``). Slots are claimed in
+    first-seen order by `assign_slots` and never freed, so a slot's
+    marker id is stable for the whole run — landmark j in the filter
+    IS marker table[j]."""
+    lead = () if streams is None else (streams,)
+    return jnp.full(lead + (capacity,), -1, jnp.int32)
+
+
+def assign_slots(table_ids: jnp.ndarray, canon: jnp.ndarray,
+                 cand_ids: jnp.ndarray, decoded: jnp.ndarray,
+                 top_score: jnp.ndarray
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Step 7 with an id->slot table: decouple marker id from slot.
+
+    A decoded candidate whose id is already in ``table_ids`` lands in
+    that slot; unseen ids claim the first free slot (first-seen
+    compaction), so ``capacity`` is sized by markers PRESENT, not by
+    the dictionary's id range (the reference keys landmarks by
+    encounter order the same way, reference
+    filters/extended_kalman_filter.py:239-290). When every slot is
+    taken, further new ids are dropped (their candidates stay visible
+    in the Detections diagnostics). Largest candidate wins per id, as
+    in `detect_markers`.
+
+    Returns (corners (C,4,2), mask (C,), new table_ids (C,)).
+    """
+    c = table_ids.shape[0]
+    k = canon.shape[0]
+    slot_c = jnp.zeros((c, 4, 2), canon.dtype)
+    slot_mask = jnp.zeros(c, bool)
+    slot_score = jnp.zeros(c, jnp.int32)
+
+    def place(i, carry):
+        sc, sm, ss, tids = carry
+        cid = cand_ids[i]
+        ok = decoded[i] & (cid >= 0)
+        known = tids == cid          # (C,) — ids are unique in tids
+        free = tids < 0
+        has_known = known.any()
+        slot = jnp.where(has_known, jnp.argmax(known), jnp.argmax(free))
+        ok = ok & (has_known | free.any())
+        # claim the slot for an unseen id (even when a same-id
+        # candidate later scores higher: same id -> same slot)
+        tids = jnp.where(ok & ~has_known,
+                         tids.at[slot].set(cid), tids)
+        better = ok & (top_score[i] > ss[slot])
+        sc = jnp.where(better, sc.at[slot].set(canon[i]), sc)
+        sm = jnp.where(better, sm.at[slot].set(True), sm)
+        ss = jnp.where(better, ss.at[slot].set(top_score[i]), ss)
+        return sc, sm, ss, tids
+
+    slot_c, slot_mask, _, table_ids = jax.lax.fori_loop(
+        0, k, place, (slot_c, slot_mask, slot_score, table_ids))
+    return slot_c, slot_mask, table_ids
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_markers_mapped(image: jnp.ndarray, cfg: DetectorConfig,
+                          table_ids: jnp.ndarray
+                          ) -> tuple[Detections, jnp.ndarray]:
+    """`detect_markers` with the id->slot table layout: slots are
+    assigned first-seen (stable across frames via ``table_ids``), so
+    ``cfg.capacity`` bounds simultaneous distinct markers, not the
+    dictionary's id range. Returns (Detections, updated table_ids);
+    thread the table through the run and translate slots back to
+    marker ids at the output boundary (``table_ids[slot]``)."""
+    canon, cand_ids, decoded, top_score = _detect_candidates(image, cfg)
+    slot_c, slot_mask, table_ids = assign_slots(
+        table_ids, canon, cand_ids, decoded, top_score)
+    return Detections(corners=slot_c, mask=slot_mask,
+                      cand_corners=canon, cand_ids=cand_ids,
+                      cand_valid=decoded), table_ids
+
+
 def detect_markers_batch(images: jnp.ndarray, cfg: DetectorConfig
                          ) -> Detections:
     """vmapped detection over a leading batch axis (B, H, W)."""
     return jax.vmap(lambda im: detect_markers(im, cfg))(images)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_markers_batch_mapped(images: jnp.ndarray,
+                                cfg: DetectorConfig,
+                                table_ids: jnp.ndarray
+                                ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                           jnp.ndarray]:
+    """Mapped full detection over a CHUNK of consecutive frames of ONE
+    stream (T, H, W): the heavy candidate pipeline vectorizes over
+    frames (they are independent), and only the slot assignment —
+    whose id->slot table is the single piece of cross-frame state —
+    runs as a sequential scan. Returns (corners (T,C,4,2),
+    mask (T,C), final table_ids)."""
+    canon, cand_ids, decoded, top_score = jax.vmap(
+        lambda im: _detect_candidates(im, cfg))(images)
+
+    def step(tids, xs):
+        sc, sm, tids = assign_slots(tids, *xs)
+        return tids, (sc, sm)
+
+    table_ids, (slot_c, slot_m) = jax.lax.scan(
+        step, table_ids, (canon, cand_ids, decoded, top_score))
+    return slot_c, slot_m, table_ids
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
                   mask: jnp.ndarray, cfg: DetectorConfig,
-                  velocity: jnp.ndarray | None = None
+                  velocity: jnp.ndarray | None = None,
+                  slot_ids: jnp.ndarray | None = None
                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Track previously-detected markers into a new frame — the cheap
     per-frame half of a detect-every-K streaming pipeline.
@@ -629,14 +765,19 @@ def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
     prior): the search starts at corners + velocity, so only the
     frame-to-frame acceleration has to fit inside ``track_win`` —
     smooth camera pans of any speed stay locked once acquired.
-    Returns the same (corners, mask) shapes for this frame.
-    Cost is ~candidate-free: three patch gathers + decode
-    (~0.3 ms/frame at 1080p vs ~6 ms for the robust full sweep).
+    `slot_ids` (C,) gives each slot's marker id for the payload
+    re-validation (-1 = free); None = slot index IS the id
+    (`detect_markers` layout). Returns the same (corners, mask)
+    shapes for this frame. Cost is ~candidate-free: three patch
+    gathers + decode (~0.3 ms/frame at 1080p vs ~6 ms for the robust
+    full sweep).
     """
     d = dict_mod.load(cfg.dict_name)
     c = corners.shape[0]
     if velocity is None:
         velocity = jnp.zeros_like(corners)
+    if slot_ids is None:
+        slot_ids = jnp.arange(c)
     ts = min(cfg.track_slots, c) if cfg.track_slots else c
     if ts < c:
         # Compact to the live slots: every stage below does per-slot
@@ -648,11 +789,11 @@ def track_markers(image: jnp.ndarray, corners: jnp.ndarray,
         # re-acquisition at the next full sweep).
         _, idx = jax.lax.top_k(mask.astype(jnp.int32), ts)
         rc, ok = _track_core(image, corners[idx], mask[idx],
-                             velocity[idx], cfg, d, idx)
+                             velocity[idx], cfg, d, slot_ids[idx])
         return (corners.at[idx].set(rc),
                 jnp.zeros(c, bool).at[idx].set(ok))
     return _track_core(image, corners, mask, velocity, cfg, d,
-                       jnp.arange(c))
+                       slot_ids)
 
 
 def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
@@ -704,10 +845,18 @@ def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
     table = jnp.asarray(d.bits.reshape(n, -1).astype(bool))
     expected = table[jnp.clip(slot_ids, 0, n - 1)]
     hamming = (payload ^ expected).sum(-1)
-    slot_live = slot_ids < n
+    slot_live = (slot_ids >= 0) & (slot_ids < n)
 
-    # corners clamped to the patch border by the refiner are off-frame
-    margin = float(cfg.track_win + 4)
+    # off-frame check: a corner is invalid only when the FINAL tight
+    # refine window (half=3, +1 px gradient border) cannot lie inside
+    # the image at all. A wider clamp-derived margin (track_win+4 =
+    # 12 px at defaults) dropped fully-visible edge-adjacent markers
+    # on every tracked frame, flapping them between dropped and
+    # full-sweep re-acquired; the consensus snap above bounds
+    # per-corner drift to 1.25 px and the payload re-decode below
+    # rejects real corruption, so geometry only requires the window
+    # to fit.
+    margin = 4.0
     xs, ys = refined[..., 0], refined[..., 1]
     in_frame = ((xs > margin) & (xs < w - margin)
                 & (ys > margin) & (ys < h - margin)).all(-1)
@@ -779,6 +928,61 @@ def detect_or_track_batch(images: jnp.ndarray, corners: jnp.ndarray,
     return jax.lax.cond(do_full, full, track, None)
 
 
+def detect_or_track_mapped(image: jnp.ndarray, corners: jnp.ndarray,
+                           mask: jnp.ndarray, velocity: jnp.ndarray,
+                           table_ids: jnp.ndarray, do_full: jnp.ndarray,
+                           cfg: DetectorConfig
+                           ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                      jnp.ndarray, jnp.ndarray]:
+    """`detect_or_track` with the id->slot table layout: the table is
+    part of the streaming carry, so slot assignments stay stable
+    across full sweeps AND tracked frames (a slot's marker id never
+    changes once claimed), and the tracker validates each slot's
+    payload against table_ids[slot]."""
+
+    def full(_):
+        det, tids = detect_markers_mapped(image, cfg, table_ids)
+        return (det.corners, det.mask,
+                track_velocity(det.corners, det.mask, corners, mask),
+                tids)
+
+    def track(_):
+        nc, nm = track_markers(image, corners, mask, cfg, velocity,
+                               slot_ids=table_ids)
+        return nc, nm, track_velocity(nc, nm, corners, mask), table_ids
+
+    return jax.lax.cond(do_full, full, track, None)
+
+
+def detect_or_track_batch_mapped(images: jnp.ndarray,
+                                 corners: jnp.ndarray,
+                                 mask: jnp.ndarray,
+                                 velocity: jnp.ndarray,
+                                 table_ids: jnp.ndarray,
+                                 do_full: jnp.ndarray,
+                                 cfg: DetectorConfig):
+    """Fleet (leading S axis) streaming step with per-stream id->slot
+    tables; same scalar-predicate contract as `detect_or_track_batch`."""
+
+    def full(_):
+        det, tids = jax.vmap(
+            lambda im, t: detect_markers_mapped(im, cfg, t)
+        )(images, table_ids)
+        return (det.corners, det.mask,
+                jax.vmap(track_velocity)(det.corners, det.mask,
+                                         corners, mask), tids)
+
+    def track(_):
+        nc, nm = jax.vmap(
+            lambda im, c, m, v, t: track_markers(im, c, m, cfg, v,
+                                                 slot_ids=t)
+        )(images, corners, mask, velocity, table_ids)
+        return (nc, nm, jax.vmap(track_velocity)(nc, nm, corners, mask),
+                table_ids)
+
+    return jax.lax.cond(do_full, full, track, None)
+
+
 def with_preset(cfg: DetectorConfig, preset: str) -> DetectorConfig:
     """Resolve a named full-sweep preset: "robust" = the multi-pass
     (window x scale) candidate sweep (cfg unchanged — `passes=None`
@@ -792,24 +996,30 @@ def with_preset(cfg: DetectorConfig, preset: str) -> DetectorConfig:
     raise ValueError(f"unknown detector preset {preset!r}")
 
 
-def streaming_init(cfg: DetectorConfig, streams: int | None = None):
-    """Initial (corners, mask, velocity, frame index) carry for a
-    `lax.scan` over `streaming_step`."""
+def streaming_init(cfg: DetectorConfig, streams: int | None = None,
+                   mapped: bool = False):
+    """Initial (corners, mask, velocity[, table_ids], frame index)
+    carry for a `lax.scan` over `streaming_step`. ``mapped`` adds the
+    id->slot table (see `detect_markers_mapped`)."""
     lead = () if streams is None else (streams,)
-    return (jnp.zeros(lead + (cfg.capacity, 4, 2), jnp.float32),
-            jnp.zeros(lead + (cfg.capacity,), bool),
-            jnp.zeros(lead + (cfg.capacity, 4, 2), jnp.float32),
-            jnp.int32(0))
+    cr = (jnp.zeros(lead + (cfg.capacity, 4, 2), jnp.float32),
+          jnp.zeros(lead + (cfg.capacity,), bool),
+          jnp.zeros(lead + (cfg.capacity, 4, 2), jnp.float32))
+    if mapped:
+        cr = cr + (slot_table_init(cfg.capacity, streams),)
+    return cr + (jnp.int32(0),)
 
 
 def streaming_step(cfg: DetectorConfig, track_every: int,
-                   streams: int | None = None):
+                   streams: int | None = None, mapped: bool = False):
     """The ONE definition of the detect-every-K scan step, shared by
     the drivers and benches so the schedule cannot drift between them.
 
     Returns a `lax.scan` step over frames with carry (corners, mask,
-    velocity, i): full sweep on the 2 bootstrap frames of every
-    `track_every`-frame period, validated tracking in between.
+    velocity[, table_ids], i): full sweep on the 2 bootstrap frames of
+    every `track_every`-frame period, validated tracking in between.
+    ``mapped`` switches to the id->slot table layout (carry gains the
+    table; scan outputs are unchanged slot arrays).
 
     streams=None (single stream): the schedule also forces a full
     sweep the moment tracking has nothing left (all markers left frame
@@ -822,6 +1032,16 @@ def streaming_step(cfg: DetectorConfig, track_every: int,
     ke = track_every
 
     def step(cr, im):
+        if mapped:
+            c, m, v, tids, i = cr
+            do_full = (i % ke) < 2
+            if streams is None:
+                c, m, v, tids = detect_or_track_mapped(
+                    im, c, m, v, tids, do_full | ~m.any(), cfg)
+            else:
+                c, m, v, tids = detect_or_track_batch_mapped(
+                    im, c, m, v, tids, do_full, cfg)
+            return (c, m, v, tids, i + 1), (c, m)
         c, m, v, i = cr
         do_full = (i % ke) < 2
         if streams is None:

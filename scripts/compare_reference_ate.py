@@ -107,13 +107,18 @@ def run_ours(obs, frames):
     return np.asarray(cam_traj)[:, :3]
 
 
-def main() -> None:
+def run_comparison() -> dict[str, tuple[float, float]]:
+    """The ONE reproducible head-to-head (tests/test_reference_parity.py
+    pins these so README / BASELINE_MEASURED.md cannot drift from the
+    script again). Returns {label: (reference ATE, ours ATE)} in
+    meters."""
     sys.path.insert(0, REPO)
     from aruco_slam_tpu.bench import ate, synthetic
 
     frames, markers = 240, 12
     scene = synthetic.make_wall_scene(num_markers=markers, seed=0)
     traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    out = {}
     for label, noise in (("noiseless", 0.0), ("noisy (1 cm)", 0.01)):
         obs = synthetic.observe_poses(scene, traj, 64, fov_limit=0.75,
                                       noise_t=noise, noise_r=noise)
@@ -123,6 +128,12 @@ def main() -> None:
         e_ours = ate.ate_rmse(ours, traj.cam_t)
         print(f"{label}: reference EKF ATE {e_ref:.4f} m | "
               f"ours {e_ours:.4f} m | ratio {e_ref / e_ours:.1f}x")
+        out[label] = (float(e_ref), float(e_ours))
+    return out
+
+
+def main() -> None:
+    run_comparison()
 
 
 if __name__ == "__main__":

@@ -264,7 +264,17 @@ def test_pallas_detect_matches_default(rendered):
                        np.asarray(pal.corners), atol=1e-4)
 
 
-def test_flood_converges_on_marker_shapes():
+@pytest.mark.parametrize(
+    "prop_iters,scan_rounds",
+    [(CFG.prop_iters, CFG.scan_rounds),
+     # the fine-downscale pass runs the flood at HALF prop_iters
+     # (detect_markers keeps scan_rounds full: the segmented scans are
+     # what carries marker-scale convergence — scan_rounds=2 splits a
+     # 131-px marker into 4+ labels) — marker-scale shapes must
+     # converge at the halved budget too, so future tuning can't
+     # silently regress fine-pass separation
+     (CFG.prop_iters // 2, CFG.scan_rounds)])
+def test_flood_converges_on_marker_shapes(prop_iters, scan_rounds):
     """The stencil+segmented-scan flood must fully label rotated
     marker-shaped blobs (border ring + payload holes) at every size up
     to full frame — the shapes the detector exists for. Oracle:
@@ -296,8 +306,8 @@ def test_flood_converges_on_marker_shapes():
             fgb[0, :] = fgb[-1, :] = False
             fgb[:, 0] = fgb[:, -1] = False
             lab = np.asarray(detect._connected_components(
-                jnp.asarray(fgb), CFG.prop_iters,
-                scan_rounds=CFG.scan_rounds, pallas_mode="off"))
+                jnp.asarray(fgb), prop_iters,
+                scan_rounds=scan_rounds, pallas_mode="off"))
             oracle, n = ndimage.label(fgb, structure=np.ones((3, 3)))
             for comp in range(1, n + 1):
                 got = set(lab[oracle == comp].tolist())
@@ -355,6 +365,30 @@ class TestTracking:
         assert np.mean(errs) < 1.0, np.mean(errs)
         assert int(np.asarray(m).sum()) >= n0 - 2
 
+    def test_edge_adjacent_marker_stays_tracked(self, video_rate):
+        """A fully-visible marker whose corners sit a few px from the
+        frame border must survive tracking — the old track_win+4
+        (12 px) in-frame margin invalidated it every tracked frame
+        even though its refine windows fit and its payload decoded."""
+        frames, gt, vis = video_rate
+        img0 = np.asarray(frames[0])
+        d0 = detect.detect_markers(jnp.asarray(img0), CFG)
+        c0 = np.asarray(d0.corners)
+        ids = np.where(np.asarray(d0.mask))[0]
+        left_id = ids[int(np.argmin([c0[i][:, 0].min() for i in ids]))]
+        # shift the whole frame left so that marker's leftmost corner
+        # sits 6 px from the border (still fully visible)
+        shift = int(c0[left_id][:, 0].min()) - 6
+        assert shift > 0
+        shifted = np.roll(img0, -shift, axis=1)
+        seed = c0.copy()
+        seed[..., 0] -= shift
+        c, m = detect.track_markers(jnp.asarray(shifted),
+                                    jnp.asarray(seed), d0.mask, CFG)
+        assert np.asarray(m)[left_id], "edge-adjacent marker dropped"
+        diff = np.abs(np.asarray(c[left_id]) - seed[left_id]).max()
+        assert diff < 1.5, diff
+
     def test_detect_or_track_reacquires(self, video_rate):
         """With full sweeps 2 of every K frames, everything the
         full detector sees is acquired within one period, and tracked
@@ -411,6 +445,113 @@ def test_all_standard_dictionaries_load_and_detect():
         got = set(np.where(np.asarray(det.mask))[0].tolist())
         expected = {test_id, test_id + 1, test_id + 2}
         assert got and got <= expected, (name, got, expected)
+
+
+class TestMappedSlots:
+    """id->slot table layout (detect_markers_mapped): capacity sized
+    by markers PRESENT, not by the dictionary's id range — the role
+    the reference fills by keying landmarks in encounter order
+    (reference filters/extended_kalman_filter.py:239-290)."""
+
+    @pytest.fixture(scope="class")
+    def high_id_scene(self):
+        """3 markers from dict_5x5_1000 with ids around 900 — under
+        the slot==id layout this would need capacity >= 903."""
+        import jax as _jax
+        cam = cam_mod.CameraModel.from_matrix(jnp.asarray(K2),
+                                              jnp.asarray(DIST))
+        ids = np.array([900, 905, 910])
+        scene = synthetic.make_wall_scene(num_markers=3, seed=3)
+        # 4 video-rate frames (sliced from a 120-frame orbit so the
+        # streaming tracker's motion assumptions hold)
+        traj = _jax.tree.map(
+            lambda a: a[:4],
+            synthetic.make_orbit_trajectory(num_frames=120))
+        frames = render.render_sequence(
+            scene, traj, cam, image_size=SIZE,
+            dict_name="dict_5x5_1000", marker_ids=ids)
+        gt, vis = synthetic.observe_corners(scene, traj, cam, 3,
+                                            image_size=SIZE)
+        return frames, ids, gt, vis
+
+    CFG1000 = detect.DetectorConfig(dict_name="dict_5x5_1000",
+                                    capacity=8)
+
+    def test_high_ids_fit_small_capacity(self, high_id_scene):
+        frames, ids, gt, vis = high_id_scene
+        table = detect.slot_table_init(8)
+        det, table = detect.detect_markers_mapped(
+            jnp.asarray(frames[0]), self.CFG1000, table)
+        m = np.asarray(det.mask)
+        tids = np.asarray(table)
+        assert m.sum() == vis[0].sum()
+        got = set(tids[np.where(m)[0]].tolist())
+        assert got <= set(ids.tolist()), (got, ids)
+        # corners land where the render ground truth says, mapped
+        # through the table (slot s holds marker tids[s] = 900 + 5j)
+        for s in np.where(m)[0]:
+            j = int(np.where(ids == tids[s])[0][0])
+            diff = np.abs(np.asarray(det.corners[s]) - gt[0][j]).max()
+            assert diff < 1.5, (s, tids[s], diff)
+
+    def test_table_stable_across_frames(self, high_id_scene):
+        """A marker keeps its slot for the whole run: the table only
+        grows, so landmark slot j in a filter stays marker table[j]."""
+        frames, ids, gt, vis = high_id_scene
+        table = detect.slot_table_init(8)
+        assign = {}
+        for f in range(len(frames)):
+            det, table = detect.detect_markers_mapped(
+                jnp.asarray(frames[f]), self.CFG1000, table)
+            tids = np.asarray(table)
+            for s in np.where(np.asarray(det.mask))[0]:
+                mid = int(tids[s])
+                assert assign.setdefault(mid, s) == s, \
+                    (f, mid, s, assign)
+        # every marker the render ground truth says was ever visible
+        # got exactly one stable slot (the 4 video-rate frames share a
+        # viewpoint, so this may be fewer than the 3 scene markers)
+        assert len(assign) == int(vis.any(0).sum()), (assign, vis)
+
+    def test_matches_slot_by_id_layout(self, rendered):
+        """On a small dictionary both layouts must find the same
+        markers with the same corners — only the slot indexing
+        differs."""
+        cam, scene, traj, frames, corners, mask = rendered
+        base = detect.detect_markers(jnp.asarray(frames[5]), CFG)
+        det, table = detect.detect_markers_mapped(
+            jnp.asarray(frames[5]), CFG,
+            detect.slot_table_init(CFG.capacity))
+        tids = np.asarray(table)
+        base_ids = set(np.where(np.asarray(base.mask))[0].tolist())
+        m = np.asarray(det.mask)
+        got = {int(tids[s]) for s in np.where(m)[0]}
+        assert got == base_ids
+        for s in np.where(m)[0]:
+            np.testing.assert_allclose(
+                np.asarray(det.corners[s]),
+                np.asarray(base.corners[int(tids[s])]), atol=1e-4)
+
+    def test_streaming_mapped_tracks_high_ids(self, high_id_scene):
+        """The mapped streaming carry (table in the scan state): full
+        sweep acquires, tracked frames re-validate each slot against
+        its TABLE id, slots stay stable."""
+        frames, ids, gt, vis = high_id_scene
+        cr = detect.streaming_init(self.CFG1000, mapped=True)
+        step = detect.streaming_step(self.CFG1000, track_every=4,
+                                     mapped=True)
+        import jax as _jax
+        cr, (cs, ms) = _jax.lax.scan(step, cr,
+                                     jnp.asarray(frames,
+                                                 jnp.float32))
+        tids = np.asarray(cr[3])
+        assert set(tids[tids >= 0].tolist()) <= set(ids.tolist())
+        # frames 2..3 are tracked; survivors must be accurate
+        for f in (2, 3):
+            for s in np.where(np.asarray(ms[f]))[0]:
+                j = int(np.where(ids == tids[s])[0][0])
+                diff = np.abs(np.asarray(cs[f][s]) - gt[f][j]).max()
+                assert diff < 2.5, (f, s, diff)
 
 
 def test_tracking_lost_everything_reacquires(rendered):

