@@ -296,6 +296,11 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                 break
             if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < tt:
                 checkpoint(i + 1)
+    if int(state.dropped_obs):
+        print(f"WARNING: {int(state.dropped_obs)} observations were "
+              f"dropped by the max_obs={fcfg.max_obs} update "
+              "compaction (densest frames exceeded it); raise "
+              "--max-obs")
     unc = np.asarray(mekf_mod.landmark_uncertainties(fcfg, state))
     active = np.asarray(state.active)
     lm = np.asarray(state.lm)[:, :3]

@@ -99,6 +99,17 @@ class Viewer3DSink:
         self.v.close()
 
 
+def display_available() -> bool:
+    """cv2's Qt backend ABORTS the process (not an exception) when no
+    display server exists, so probe the environment first."""
+    import os
+    import sys
+
+    return bool(os.environ.get("DISPLAY")
+                or os.environ.get("WAYLAND_DISPLAY")
+                or sys.platform in ("darwin", "win32"))
+
+
 class LiveDisplaySink:
     """Opt-in interactive window (the reference's cv2.imshow loop with
     'q' to quit, reference viewers/viewer_2d.py:103-106). Wraps a
@@ -107,15 +118,8 @@ class LiveDisplaySink:
     instead of killing the run."""
 
     def __init__(self, inner: Viewer2DSink) -> None:
-        import os
-        import sys
-
         self.inner = inner
-        # cv2's Qt backend ABORTS the process (not an exception) when
-        # no display server exists, so probe the environment first
-        self.enabled = bool(os.environ.get("DISPLAY")
-                            or os.environ.get("WAYLAND_DISPLAY")
-                            or sys.platform in ("darwin", "win32"))
+        self.enabled = display_available()
         if not self.enabled:
             print("no display server (DISPLAY unset): --display "
                   "falls back to headless PNG/mp4 export")
@@ -149,6 +153,57 @@ class LiveDisplaySink:
                 pass
 
 
+class Live3DDisplaySink:
+    """Interactive 3D MAP window: the reference's Pangolin
+    follow-camera view (reference viewers/viewer_3d.py:52-108) as a
+    fast numpy raster (viz/render3d.py, ~1-2 ms/frame) shown through
+    cv2 — no GL stack. Chase view follows the estimated camera;
+    trajectory/landmarks/detections render like the headless 3D sink.
+    'q' in either window ends the run (sinks.stop_requested)."""
+
+    def __init__(self) -> None:
+        self.enabled = display_available()
+        if not self.enabled:
+            print("no display server: live 3D map disabled "
+                  "(use --viz-3d for headless PNG/mp4 export)")
+        self.quit = False
+        self._traj: list[np.ndarray] = []
+
+    def view_frame(self, cam_pose, pts, det) -> None:
+        cam_pose = np.asarray(cam_pose)
+        self._traj.append(cam_pose[:3].copy())
+        if not self.enabled or self.quit:
+            return
+        from aruco_slam_tpu.viz.render3d import render_map_frame
+        r = np.asarray(quat_np.to_matrix(jnp.asarray(cam_pose[3:7])))
+        dw = np.asarray(
+            [r @ np.asarray(t) + cam_pose[:3] for t, _ in det]
+        ) if det else None
+        img = render_map_frame(cam_pose, np.asarray(self._traj),
+                               np.asarray(pts), dw)
+        try:
+            import cv2
+            cv2.imshow("aruco_slam_tpu 3d", img[..., ::-1])
+            if (cv2.waitKey(1) & 0xFF) == ord("q"):
+                self.quit = True
+                cv2.destroyAllWindows()
+        except Exception as e:
+            print(f"live 3D display unavailable ({e}); continuing "
+                  "headless")
+            self.enabled = False
+
+    def skip_to(self, i: int) -> None:
+        pass  # a resumed run's 3D window restarts its trajectory trace
+
+    def close(self) -> None:
+        if self.enabled and not self.quit:
+            try:
+                import cv2
+                cv2.destroyAllWindows()
+            except Exception:
+                pass
+
+
 def stop_requested(viewers) -> bool:
     """True once any sink asked to end the run — the live window's 'q'
     key. The reference's driver loop breaks when its 2D viewer returns
@@ -164,6 +219,11 @@ def build_viewers(cfg: SlamAppConfig, cam, src=None,
     viewers = []
     if cfg.viz_3d:
         viewers.append(Viewer3DSink(cfg))
+    if display:
+        # reference parity: --display opens BOTH live windows — the 2D
+        # overlay (cv2) and the 3D follow-camera map (Pangolin there,
+        # viz/render3d here)
+        viewers.append(Live3DDisplaySink())
     if cfg.viz_2d or display:
         v2 = Viewer2DSink(cam, cfg, make_frame_provider(cfg, src),
                           frame_shape)

@@ -202,6 +202,13 @@ class MekfState(NamedTuple):
     vel: jnp.ndarray    # (3,) EMA per-frame camera displacement
                         # (deterministic aux state; only used when
                         # vel_smoothing > 0)
+    dropped_obs: jnp.ndarray  # () int32 — cumulative observations
+                        # dropped by the max_obs measurement
+                        # compaction (frames observing more than
+                        # max_obs slots). Nonzero after a run means
+                        # max_obs was undersized: raise it (run_slam
+                        # auto-sizes and warns; library consumers
+                        # check this counter)
 
 
 class FrameObservations(NamedTuple):
@@ -243,6 +250,7 @@ def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
         cov=jnp.diag(diag),
         active=jnp.zeros(cfg.capacity, dtype=bool),
         vel=jnp.zeros(3, dt),
+        dropped_obs=jnp.zeros((), jnp.int32),
     )
 
 
@@ -555,6 +563,12 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
 
 
     k_obs = min(cfg.max_obs, c)
+    # loud truncation accounting: frames observing more than k_obs
+    # slots drop the extras below — count them so consumers see it
+    # (state.dropped_obs; run_slam warns when it ends nonzero)
+    dropped_obs = state.dropped_obs + jnp.maximum(
+        jnp.sum(mask, dtype=jnp.int32) - k_obs, 0) \
+        if k_obs < c else state.dropped_obs
     if k_obs < c:
         # measurement compaction: gather the observed slots into a
         # compact block so S is (k_obs*md)² instead of (C*md)². With
@@ -691,7 +705,7 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
         vel = state.vel
 
     return MekfState(cam_t=cam_t, cam_q=cam_q, lm=lm, cov=cov,
-                     active=active, vel=vel)
+                     active=active, vel=vel, dropped_obs=dropped_obs)
 
 
 @functools.partial(jax.jit, static_argnums=0)

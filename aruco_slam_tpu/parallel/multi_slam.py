@@ -77,6 +77,13 @@ def batched_image_slam(dcfg, fcfg: MekfConfig, cam,
     traffic and scaling is linear in devices (camera intrinsics and
     detector tables are replicated by XLA).
     Returns (final states (S, ...), trajectories (S, T, 7)).
+
+    Size ``fcfg.max_obs`` to the densest frame you expect: frames
+    observing more slots drop the extras, counted per stream in the
+    returned ``states.dropped_obs`` — check it after a run (the
+    run_slam driver auto-sizes max_obs from the data; this library
+    path cannot, since the observation density is only known after
+    detection).
     """
     if mesh is not None:
         shard = NamedSharding(mesh, P(axis or mesh.axis_names[0]))

