@@ -279,6 +279,9 @@ def main(argv=None) -> None:
                         "smoothed poses (reference "
                         "main/run_offline.py:124-142)")
     p.add_argument("--viz-3d", action="store_true")
+    p.add_argument("--viz-3d-renderer", default="mpl",
+                   choices=["mpl", "fast"],
+                   help="see run_slam --viz-3d-renderer")
     p.add_argument("--viz-dir", default="outputs/images")
     p.add_argument("--export-video", action="store_true")
     dflt = SlamAppConfig(input="")
@@ -369,6 +372,7 @@ def main(argv=None) -> None:
                         odom_sigma_t=args.odom_sigma_t,
                         odom_sigma_rot=args.odom_sigma_rot,
                         viz_2d=args.viz_2d, viz_3d=args.viz_3d,
+                        viz_3d_renderer=args.viz_3d_renderer,
                         viz_dir=args.viz_dir,
                         export_video=args.export_video,
                         track_every=args.track_every,

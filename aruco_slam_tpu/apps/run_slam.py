@@ -419,6 +419,12 @@ def main(argv=None) -> None:
     p.add_argument("--map", dest="map_file", default="outputs/map.txt")
     p.add_argument("--viz-2d", action="store_true")
     p.add_argument("--viz-3d", action="store_true")
+    p.add_argument("--viz-3d-renderer", default="mpl",
+                   choices=["mpl", "fast"],
+                   help="3D export renderer: mpl = matplotlib figures "
+                        "(axes/ticks, ~50 ms/frame), fast = the numpy "
+                        "raster the live window uses (~1-2 ms/frame; "
+                        "pick for long sequences)")
     p.add_argument("--display", action="store_true",
                    help="live interactive 2D window, 'q' quits (the "
                         "reference's cv2.imshow loop, reference "
@@ -519,6 +525,7 @@ def main(argv=None) -> None:
         input=args.input, filter=args.filter,
         trajectory_file=args.trajectory, map_file=args.map_file,
         viz_2d=args.viz_2d, viz_3d=args.viz_3d, viz_dir=args.viz_dir,
+        viz_3d_renderer=args.viz_3d_renderer,
         export_video=args.export_video,
         window=args.window, pose_budget=args.pose_budget,
         meas_sigma_t=args.meas_sigma_t,

@@ -86,7 +86,9 @@ class Viewer3DSink:
 
         video = f"{cfg.viz_dir}/3d.mp4" if cfg.export_video else None
         self.v = Viewer3D(export_dir=f"{cfg.viz_dir}/3d",
-                          export_video=video, stride=stride)
+                          export_video=video, stride=stride,
+                          renderer=getattr(cfg, "viz_3d_renderer",
+                                           "mpl"))
 
     def view_frame(self, cam_pose, pts, det) -> None:
         r = np.asarray(quat_np.to_matrix(jnp.asarray(cam_pose[3:7])))

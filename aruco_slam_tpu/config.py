@@ -52,6 +52,10 @@ class SlamAppConfig:
     # viz sinks
     viz_2d: bool = False
     viz_3d: bool = False
+    # "mpl" = matplotlib 3D figures (axes/ticks, ~50 ms/frame);
+    # "fast" = the numpy raster renderer (viz/render3d, ~1-2 ms) —
+    # use for long-sequence exports
+    viz_3d_renderer: str = "mpl"
     viz_dir: str = "outputs/images"
     export_video: bool = False
     # detection gating

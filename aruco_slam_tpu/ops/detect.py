@@ -112,16 +112,32 @@ class Detections(NamedTuple):
 
 def _box_mean(img: jnp.ndarray, win: int) -> jnp.ndarray:
     """Local box mean with edge clamping via an integral image."""
+    return _box_mean_multi(img, (win,))[0]
+
+
+def _box_mean_multi(img: jnp.ndarray, wins: tuple[int, ...]
+                    ) -> list[jnp.ndarray]:
+    """Box means for SEVERAL window sizes from one shared integral
+    image (the cumsum chain is the expensive part; the window only
+    picks 4-point slice offsets). Edge replication is idempotent, so
+    padding by the largest radius yields sums identical to per-window
+    padding. Used by the candidate sweep: the two same-downscale
+    passes differ only in window, so they share the integral image."""
     h, w = img.shape
-    r = win // 2
-    pad = jnp.pad(img, ((r + 1, r), (r + 1, r)), mode="edge")
+    rmax = max(wn // 2 for wn in wins)
+    pad = jnp.pad(img, ((rmax + 1, rmax), (rmax + 1, rmax)),
+                  mode="edge")
     ii = jnp.cumsum(jnp.cumsum(pad, axis=0), axis=1)
-    # window sums for every pixel
-    a = ii[win:, win:]
-    b = ii[:-win, win:]
-    c = ii[win:, :-win]
-    d = ii[:-win, :-win]
-    return (a - b - c + d)[:h, :w] / (win * win)
+    out = []
+    for wn in wins:
+        r = wn // 2
+        hi, lo = rmax + 1 + r, rmax - r
+        a = ii[hi:hi + h, hi:hi + w]
+        b = ii[lo:lo + h, hi:hi + w]
+        c = ii[hi:hi + h, lo:lo + w]
+        d = ii[lo:lo + h, lo:lo + w]
+        out.append((a - b - c + d) / (wn * wn))
+    return out
 
 
 def _connected_components(fg: jnp.ndarray, iters: int,
@@ -196,27 +212,43 @@ def _connected_components(fg: jnp.ndarray, iters: int,
         mv = jnp.where(b[1], b[0], jnp.minimum(a[0], b[0]))
         return mv, a[1] | b[1]
 
-    def seg_scan(labels, axis):
+    # The two directions run SEQUENTIALLY (the backward scan consumes
+    # the forward-updated labels) rather than from a shared input:
+    # per-round reach is strictly >= the parallel-directions form (a
+    # forward-found min propagates backward in the same round), and it
+    # halves the peak value liveness — which is what lets the fused
+    # Pallas kernel (pallas_cc._flood_scan_kernel, kept bit-identical
+    # to this path) fit the 16 MB scoped-VMEM budget at 540x960.
+    def seg_scan_dir(labels, axis, reverse):
         run_bits = int(fg.shape[axis]).bit_length()
         if label_bits + run_bits > 31:
             rs = reset.astype(bool)
-            fwd, _ = jax.lax.associative_scan(
-                seg_op, (labels, rs), axis=axis)
-            bwd, _ = jax.lax.associative_scan(
-                seg_op, (labels, rs), axis=axis, reverse=True)
-            return jnp.where(fg, jnp.minimum(fwd, bwd), big)
+            sc, _ = jax.lax.associative_scan(
+                seg_op, (labels, rs), axis=axis, reverse=reverse)
+            return jnp.where(fg, sc, big)
         inv = jnp.where(fg, maxl - labels, 0)
-        run_f = jax.lax.cumsum(reset, axis=axis)
-        fwd = jax.lax.cummax((run_f << label_bits) | inv, axis=axis)
-        run_b = jax.lax.cumsum(reset, axis=axis, reverse=True)
-        bwd = jax.lax.cummax((run_b << label_bits) | inv, axis=axis,
-                             reverse=True)
-        best = jnp.maximum(fwd & maxl, bwd & maxl)
-        return jnp.where(fg, maxl - best, big)
+        run = jax.lax.cumsum(reset, axis=axis, reverse=reverse)
+        key = jax.lax.cummax((run << label_bits) | inv, axis=axis,
+                             reverse=reverse)
+        return jnp.where(fg, maxl - (key & maxl), big)
+
+    def seg_scan(labels, axis):
+        return seg_scan_dir(seg_scan_dir(labels, axis, False),
+                            axis, True)
 
     per = max(1, iters // (scan_rounds + 1)) if scan_rounds else iters
     if pallas_mode != "off":
         from aruco_slam_tpu.ops import pallas_cc
+        if pallas_cc.flood_scan_fits(h, w):
+            # the fused kernel runs the WHOLE schedule (stencils AND
+            # segmented scans) in VMEM — the scans are the XLA path's
+            # cost center (~0.8 ms/round at 540x960: every cummax /
+            # cumsum is its own log-depth multi-pass HBM kernel; in
+            # VMEM they are log2(n) masked rolls, HBM touched twice
+            # total). Bit-identical to the XLA path below.
+            return pallas_cc.flood_scan_labels(
+                fg, iters, scan_rounds,
+                interpret=(pallas_mode == "interpret"))
         labels = pallas_cc.flood_labels(
             fg, per, interpret=(pallas_mode == "interpret"))
     else:
@@ -467,6 +499,11 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
         if d0 // 2 >= 2:
             passes = passes + ((w0, d0 // 2),)
     base_ds = max(ds for _, ds in passes)
+    win_by_ds: dict[int, list[int]] = {}
+    for wf, ds in passes:
+        wl_ = max(3, wf // ds) | 1
+        if wl_ not in win_by_ds.setdefault(ds, []):
+            win_by_ds[ds].append(wl_)
     pools: dict[int, tuple] = {}
     per_pass = []
     for wf, ds in passes:
@@ -483,20 +520,22 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
             small_avg = jax.lax.reduce_window(
                 crop, 0.0, jax.lax.add, (ds, ds), (ds, ds), "VALID") \
                 * (1.0 / (ds * ds))
-            pools[ds] = (hl, wl, small_min, small_avg)
-        hl, wl, small_min, small_avg = pools[ds]
+            # one shared integral image serves every window at this
+            # downscale (the two coarse passes differ only in window)
+            means = dict(zip(win_by_ds[ds], _box_mean_multi(
+                small_avg, tuple(win_by_ds[ds]))))
+            pools[ds] = (hl, wl, small_min, small_avg, means)
+        hl, wl, small_min, small_avg, means = pools[ds]
         bg_label = hl * wl
         win_l = max(3, wf // ds) | 1  # odd, at labeling resolution
-        mean = _box_mean(small_avg, win_l)
+        mean = means[win_l]
         fg = (small_min < (mean - cfg.thresh_c)) \
             & (small_avg < (mean - 0.5 * cfg.thresh_c))
-        # the VMEM-resident flood holds fg + labels + stencil
-        # temporaries on the kernel stack: the fine-downscale pass at
-        # 1080p (518k px -> 17 MB) exceeds the 16 MB scoped VMEM
-        # budget, so large passes use the XLA stencil loop (measured
-        # at parity there anyway — the fused batched loop is
-        # bandwidth-bound, pallas_cc.py notes)
-        pm = pallas_mode if bg_label <= 300_000 else "off"
+        # VMEM gate for the fused stencil+scan kernel: its live set is
+        # ~6 label-sized int32 buffers, so 540x960 (the ds=2 fine pass
+        # at 1080p, 2.1 MB/buffer) fits the 16 MB scoped budget with
+        # room; 4K-class fine passes (>650k px) fall back to XLA
+        pm = pallas_mode if bg_label <= 650_000 else "off"
         # Fine-downscale passes run at 4x the coarse pixel count and
         # dominate the 3-pass sweep's cost, so they get HALF the
         # stencil budget. Only prop_iters is halved: convergence on
@@ -524,13 +563,24 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
         # 4.7 ms/frame at 1080p full-grid vs ~1.2 subsampled.
         sub = base_ds // ds
         labs = labels[::sub, ::sub] if sub > 1 else labels
+        per_pass.append((labs, bg_label, ds))
 
-        # 3. component areas -> top-K candidates. Sort-based
-        # histogram: sort the labels, find run starts, get each run's
-        # length from the distance to the next start (reverse cummin —
-        # no gathers). The obvious scatter-add histogram
-        # (zeros.at[labels].add(1)) costs ~1.2 ms/frame at 1080p on
-        # TPU — 4x the price of the sort.
+    # 3+4. component areas -> top-K candidates -> quad corners, BATCHED
+    # over the passes: every pass's label image lands on the same
+    # coarsest grid, so the sort/top-K/mask/extreme-point stages run as
+    # ONE vmapped program over a (P, hl, wl) stack instead of P
+    # separate kernel chains (same math per pass, so outputs are
+    # bit-identical to the per-pass loop it replaces).
+    #
+    # Sort-based area histogram: sort the labels, find run starts, get
+    # each run's length from the distance to the next start (reverse
+    # cummin — no gathers). The obvious scatter-add histogram
+    # (zeros.at[labels].add(1)) costs ~1.2 ms/frame at 1080p on TPU —
+    # 4x the price of the sort.
+    labs_stack = jnp.stack([p[0] for p in per_pass])  # (P, hl, wl)
+    bgs = jnp.asarray([p[1] for p in per_pass], jnp.int32)
+
+    def harvest(labs, bg_label):
         n = labs.size
         max_area = int(cfg.max_area_frac * n)
         s_lab = jnp.sort(labs.reshape(-1))      # background last
@@ -545,20 +595,48 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
         score = jnp.where(
             (s_lab < bg_label) & (cnt >= cfg.min_area)
             & (cnt <= max_area), cnt, 0)
-        top_score, pos = jax.lax.top_k(score, k)
-        roots = s_lab[pos]                      # K-element gather only
+        # Two-level top-K: a full-length top_k is a second O(n log n)
+        # sort (~0.4 ms/frame at 1080p). Qualifying run-starts are
+        # >= min_area slots apart in the sorted array (the earlier
+        # qualifying run occupies that many slots), so a block-max
+        # with block <= min_area can never merge two qualifying
+        # scores — reduce 16x, then top_k the short array. The key
+        # packs (score, inverted POSITION): position, not label —
+        # fine-pass label values live in the fine grid (4x this
+        # array's index range) and would overflow the key — and
+        # inverted so score ties resolve to the LOWEST position,
+        # exactly like the plain top_k this replaces.
+        pos_bits = max(1, int(n).bit_length())
+        score_bits = max(1, int(max_area).bit_length())
+        blk = max(1, min(16, cfg.min_area))
+        if pos_bits + score_bits <= 31 and blk > 1:
+            pmask = (1 << pos_bits) - 1
+            key = (score << pos_bits) | (n - 1 - idx)
+            pad = (-n) % blk
+            if pad:
+                key = jnp.concatenate(
+                    [key, jnp.zeros(pad, key.dtype)])
+            red = key.reshape(-1, blk).max(axis=1)
+            top_key, _ = jax.lax.top_k(red, k)
+            top_score = top_key >> pos_bits
+            roots = s_lab[n - 1 - (top_key & pmask)]
+        else:
+            top_score, pos = jax.lax.top_k(score, k)
+            roots = s_lab[pos]                  # K-element gather only
         cand_ok = top_score > 0
-
-        # 4. masks + quad corners (coarse grid), lifted to full res
         masks = labs[None, :, :] == roots[:, None, None]
         masks = masks & cand_ok[:, None, None]
-        quads = _quad_corners(masks)               # (K, 4, 2)
-        per_pass.append((quads * base_ds + (ds - 1) / 2.0,
-                         top_score, cand_ok))
+        return _quad_corners(masks), top_score, cand_ok
 
-    quads_full = jnp.concatenate([p[0] for p in per_pass])  # (P·K,4,2)
-    top_score = jnp.concatenate([p[1] for p in per_pass])
-    cand_ok = jnp.concatenate([p[2] for p in per_pass])
+    quads, scores, oks = jax.vmap(harvest)(labs_stack, bgs)
+    # lift coarse-grid quads to full-res pixels (per-pass subpixel
+    # center offset (ds-1)/2)
+    offs = jnp.asarray([(p[2] - 1) / 2.0 for p in per_pass],
+                       quads.dtype)
+    quads_full = (quads * base_ds
+                  + offs[:, None, None, None]).reshape(-1, 4, 2)
+    top_score = scores.reshape(-1)
+    cand_ok = oks.reshape(-1)
     k = k * len(passes)  # candidate count downstream of this point
 
     # 5. subpixel refinement on the full-res image: a coarse pass pulls
@@ -607,24 +685,19 @@ def detect_markers(image: jnp.ndarray, cfg: DetectorConfig
     canon, cand_ids, decoded, top_score = _detect_candidates(image, cfg)
     k = canon.shape[0]
 
-    # 7. dedup into slot outputs (largest candidate wins per id)
-    slot_c = jnp.zeros((cfg.capacity, 4, 2), canon.dtype)
-    slot_mask = jnp.zeros(cfg.capacity, bool)
-    slot_score = jnp.zeros(cfg.capacity, jnp.int32)
-
-    def place(i, carry):
-        sc, sm, ss = carry
-        sid = cand_ids[i]
-        ok = decoded[i] & (sid >= 0) & (sid < cfg.capacity)
-        sid_safe = jnp.clip(sid, 0, cfg.capacity - 1)
-        better = ok & (top_score[i] > ss[sid_safe])
-        sc = jnp.where(better, sc.at[sid_safe].set(canon[i]), sc)
-        sm = jnp.where(better, sm.at[sid_safe].set(True), sm)
-        ss = jnp.where(better, ss.at[sid_safe].set(top_score[i]), ss)
-        return sc, sm, ss
-
-    slot_c, slot_mask, _ = jax.lax.fori_loop(
-        0, k, place, (slot_c, slot_mask, slot_score))
+    # 7. dedup into slot outputs (largest candidate wins per id),
+    # fully data-parallel: per slot, argmax candidate score over the
+    # (K, C) id-match matrix. The sequential K-step .at[].set loop this
+    # replaces cost ~0.45 ms/frame on TPU (K tiny dynamic-update-slice
+    # kernels); this is one (K, C) reduction. Ties break to the LOWER
+    # candidate index (earlier pass), like the loop did.
+    ok = decoded & (cand_ids >= 0) & (cand_ids < cfg.capacity)
+    match = ok[:, None] & (cand_ids[:, None]
+                           == jnp.arange(cfg.capacity)[None, :])
+    scores = jnp.where(match, top_score[:, None], -1)   # (K, C)
+    best = jnp.argmax(scores, axis=0)                   # (C,)
+    slot_mask = jnp.max(scores, axis=0) > 0
+    slot_c = jnp.where(slot_mask[:, None, None], canon[best], 0.0)
 
     return Detections(corners=slot_c, mask=slot_mask,
                       cand_corners=canon, cand_ids=cand_ids,
@@ -662,31 +735,49 @@ def assign_slots(table_ids: jnp.ndarray, canon: jnp.ndarray,
     """
     c = table_ids.shape[0]
     k = canon.shape[0]
-    slot_c = jnp.zeros((c, 4, 2), canon.dtype)
-    slot_mask = jnp.zeros(c, bool)
-    slot_score = jnp.zeros(c, jnp.int32)
+    # Fully data-parallel form of the (conceptually sequential)
+    # candidate loop — (K, K)/(K, C) masks instead of K tiny
+    # dynamic-update-slice kernels (the loop cost ~0.45 ms/frame on
+    # TPU). Semantics preserved exactly:
+    #  * one WINNER per id: highest score, ties to the lower candidate
+    #    index (the loop's strict-greater replacement rule),
+    #  * unseen ids claim free slots in FIRST-OCCURRENCE order (the
+    #    loop claims at the first same-id candidate, not the winner),
+    #  * when free slots run out, later new ids drop.
+    ok = decoded & (cand_ids >= 0)
+    idx = jnp.arange(k, dtype=jnp.int32)
+    same = ok[:, None] & ok[None, :] \
+        & (cand_ids[:, None] == cand_ids[None, :])     # (K, K)
+    occ = jnp.min(jnp.where(same, idx[None, :], k), axis=1)
+    better = same & ((top_score[None, :] > top_score[:, None])
+                     | ((top_score[None, :] == top_score[:, None])
+                        & (idx[None, :] < idx[:, None])))
+    winner = ok & ~better.any(axis=1)
 
-    def place(i, carry):
-        sc, sm, ss, tids = carry
-        cid = cand_ids[i]
-        ok = decoded[i] & (cid >= 0)
-        known = tids == cid          # (C,) — ids are unique in tids
-        free = tids < 0
-        has_known = known.any()
-        slot = jnp.where(has_known, jnp.argmax(known), jnp.argmax(free))
-        ok = ok & (has_known | free.any())
-        # claim the slot for an unseen id (even when a same-id
-        # candidate later scores higher: same id -> same slot)
-        tids = jnp.where(ok & ~has_known,
-                         tids.at[slot].set(cid), tids)
-        better = ok & (top_score[i] > ss[slot])
-        sc = jnp.where(better, sc.at[slot].set(canon[i]), sc)
-        sm = jnp.where(better, sm.at[slot].set(True), sm)
-        ss = jnp.where(better, ss.at[slot].set(top_score[i]), ss)
-        return sc, sm, ss, tids
-
-    slot_c, slot_mask, _, table_ids = jax.lax.fori_loop(
-        0, k, place, (slot_c, slot_mask, slot_score, table_ids))
+    known = cand_ids[:, None] == table_ids[None, :]    # (K, C)
+    has_known = known.any(axis=1)
+    neww = winner & ~has_known
+    rank = jnp.sum(neww[None, :] & (occ[None, :] < occ[:, None]),
+                   axis=1)                             # claims before i
+    free = table_ids < 0
+    free_rank = jnp.cumsum(free) - 1                   # (C,)
+    claim_ok = neww & (rank < free.sum())
+    slot_new = jnp.argmax(free[None, :]
+                          & (free_rank[None, :] == rank[:, None]),
+                          axis=1)
+    slot = jnp.where(has_known, jnp.argmax(known, axis=1), slot_new)
+    placed = (winner & has_known) | claim_ok
+    onehot = placed[:, None] & (jnp.arange(c)[None, :]
+                                == slot[:, None])      # (K, C)
+    claim_oh = onehot & claim_ok[:, None]
+    table_ids = jnp.where(
+        claim_oh.any(axis=0),
+        jnp.sum(jnp.where(claim_oh, cand_ids[:, None], 0), axis=0,
+                dtype=table_ids.dtype),
+        table_ids)
+    slot_mask = onehot.any(axis=0)
+    slot_c = jnp.where(slot_mask[:, None, None],
+                       canon[jnp.argmax(onehot, axis=0)], 0.0)
     return slot_c, slot_mask, table_ids
 
 

@@ -26,11 +26,19 @@ _FRUSTUM_EDGES = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3),
 class Viewer3D:
     def __init__(self, export_dir: str | None = None,
                  export_video: str | None = None,
-                 stride: int = 1) -> None:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        self._plt = plt
+                 stride: int = 1, renderer: str = "mpl") -> None:
+        """renderer: "mpl" = matplotlib 3D figures (axes + ticks,
+        ~50 ms/frame), "fast" = the numpy raster used by the live
+        follow window (viz/render3d, ~1-2 ms/frame, static
+        whole-scene view) — pick "fast" for long-sequence exports."""
+        if renderer not in ("mpl", "fast"):
+            raise ValueError(f"unknown 3D renderer {renderer!r}")
+        self.renderer = renderer
+        if renderer == "mpl":
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            self._plt = plt
         self.export_dir = Path(export_dir) if export_dir else None
         if self.export_dir:
             self.export_dir.mkdir(parents=True, exist_ok=True)
@@ -49,6 +57,15 @@ class Viewer3D:
             return
         if self.export_dir is None and self._frames is None:
             return  # nothing to emit; still records the trajectory
+
+        if self.renderer == "fast":
+            from aruco_slam_tpu.viz.render3d import render_map_frame
+            img = render_map_frame(
+                np.asarray(camera_pose), np.asarray(self._traj),
+                np.asarray(points_world), detected_world,
+                follow=False)
+            self._emit(img)
+            return
 
         fig = self._plt.figure(figsize=(6.4, 4.8), dpi=100)
         ax = fig.add_subplot(projection="3d")
@@ -69,6 +86,9 @@ class Viewer3D:
         fig.canvas.draw()
         img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
         self._plt.close(fig)
+        self._emit(img)
+
+    def _emit(self, img: np.ndarray) -> None:
         if self.export_dir is not None:
             import imageio.v3 as iio
             iio.imwrite(

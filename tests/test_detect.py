@@ -254,6 +254,31 @@ def test_pallas_flood_matches_xla():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pallas_flood_scan_matches_xla():
+    """The fused stencil+segmented-scan kernel (the detector's whole
+    labeling schedule in one VMEM program, ops/pallas_cc
+    flood_scan_labels) must be BIT-identical to the XLA path at every
+    shape class it serves: unaligned, both detector resolutions at
+    1080p (270x480 coarse, 540x960 fine — the latter exercising the
+    alignment padding + label remap), and both iteration budgets."""
+    from aruco_slam_tpu.ops import pallas_cc
+    rng = np.random.default_rng(7)
+    cases = [((48, 64), 32, 4), ((130, 100), 16, 4),
+             ((270, 480), 32, 4), ((540, 960), 16, 4),
+             ((270, 480), 16, 0), ((64, 128), 8, 2)]
+    for shape, iters, rounds in cases:
+        assert pallas_cc.flood_scan_fits(*shape), shape
+        fg = jnp.asarray(rng.random(shape) < 0.3)
+        a = detect._connected_components(fg, iters, scan_rounds=rounds,
+                                         pallas_mode="off")
+        b = detect._connected_components(fg, iters, scan_rounds=rounds,
+                                         pallas_mode="interpret")
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            (shape, iters, rounds)
+    # 4K-class fine passes exceed the VMEM working set and fall back
+    assert not pallas_cc.flood_scan_fits(1080, 1920)
+
+
 def test_pallas_detect_matches_default(rendered):
     cam, scene, traj, frames, corners, mask = rendered
     frame = jnp.asarray(frames[5])
