@@ -169,11 +169,19 @@ class Live3DDisplaySink:
             print("no display server: live 3D map disabled "
                   "(use --viz-3d for headless PNG/mp4 export)")
         self.quit = False
-        self._traj: list[np.ndarray] = []
+        # amortized-doubling (N, 3) trajectory buffer: a python list +
+        # per-frame np.asarray would re-materialize the whole history
+        # every frame (O(T) per frame, O(T²) per run)
+        self._traj = np.empty((256, 3), np.float64)
+        self._n = 0
 
     def view_frame(self, cam_pose, pts, det) -> None:
         cam_pose = np.asarray(cam_pose)
-        self._traj.append(cam_pose[:3].copy())
+        if self._n == len(self._traj):
+            self._traj = np.concatenate(
+                [self._traj, np.empty_like(self._traj)])
+        self._traj[self._n] = cam_pose[:3]
+        self._n += 1
         if not self.enabled or self.quit:
             return
         from aruco_slam_tpu.viz.render3d import render_map_frame
@@ -181,7 +189,7 @@ class Live3DDisplaySink:
         dw = np.asarray(
             [r @ np.asarray(t) + cam_pose[:3] for t, _ in det]
         ) if det else None
-        img = render_map_frame(cam_pose, np.asarray(self._traj),
+        img = render_map_frame(cam_pose, self._traj[:self._n],
                                np.asarray(pts), dw)
         try:
             import cv2

@@ -447,7 +447,14 @@ def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
     return bits, border.sum(-1)
 
 
-def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
+def candidate_stage_names() -> tuple[str, ...]:
+    """Prefix checkpoints `_detect_candidates(stop=...)` accepts, in
+    pipeline order — the bench/detect_profile stage split."""
+    return ("pools", "flood", "harvest", "subpix", "decode")
+
+
+def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
+                       stop: str | None = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray,
                                   jnp.ndarray, jnp.ndarray]:
     """Steps 1-6 of the pipeline: the candidate sweep through decode.
@@ -458,6 +465,11 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
     (step 7) is separate so both slot layouts — slot == marker id
     (`detect_markers`) and the id->slot table (`detect_markers_mapped`)
     — share everything upstream.
+
+    `stop` (a static string from `candidate_stage_names`) truncates the
+    pipeline after that stage and returns its intermediates — purely a
+    profiling hook (bench/detect_profile) so each stage's device cost
+    is measurable as successive prefix differences.
     """
     d = dict_mod.load(cfg.dict_name)
     nbits = d.marker_bits
@@ -525,6 +537,8 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
             means = dict(zip(win_by_ds[ds], _box_mean_multi(
                 small_avg, tuple(win_by_ds[ds]))))
             pools[ds] = (hl, wl, small_min, small_avg, means)
+        if stop == "pools":
+            continue
         hl, wl, small_min, small_avg, means = pools[ds]
         bg_label = hl * wl
         win_l = max(3, wf // ds) | 1  # odd, at labeling resolution
@@ -564,6 +578,10 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
         sub = base_ds // ds
         labs = labels[::sub, ::sub] if sub > 1 else labels
         per_pass.append((labs, bg_label, ds))
+    if stop == "pools":
+        return tuple(pools[ds][2] for ds in pools)
+    if stop == "flood":
+        return tuple(p[0] for p in per_pass)
 
     # 3+4. component areas -> top-K candidates -> quad corners, BATCHED
     # over the passes: every pass's label image lands on the same
@@ -609,7 +627,10 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
         pos_bits = max(1, int(n).bit_length())
         score_bits = max(1, int(max_area).bit_length())
         blk = max(1, min(16, cfg.min_area))
-        if pos_bits + score_bits <= 31 and blk > 1:
+        # the block reduction must leave >= k entries for top_k (tiny
+        # frames: ceil(n/blk) < k) — fall back to the plain sort there
+        if (pos_bits + score_bits <= 31 and blk > 1
+                and (n + (-n) % blk) // blk >= k):
             pmask = (1 << pos_bits) - 1
             key = (score << pos_bits) | (n - 1 - idx)
             pad = (-n) % blk
@@ -621,6 +642,11 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
             top_score = top_key >> pos_bits
             roots = s_lab[n - 1 - (top_key & pmask)]
         else:
+            if n < k:  # micro frame: fewer pixels than candidate slots
+                score = jnp.concatenate(
+                    [score, jnp.zeros(k - n, score.dtype)])
+                s_lab = jnp.concatenate(
+                    [s_lab, jnp.full(k - n, bg_label, s_lab.dtype)])
             top_score, pos = jax.lax.top_k(score, k)
             roots = s_lab[pos]                  # K-element gather only
         cand_ok = top_score > 0
@@ -629,6 +655,8 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
         return _quad_corners(masks), top_score, cand_ok
 
     quads, scores, oks = jax.vmap(harvest)(labs_stack, bgs)
+    if stop == "harvest":
+        return quads, scores, oks
     # lift coarse-grid quads to full-res pixels (per-pass subpixel
     # center offset (ds-1)/2)
     offs = jnp.asarray([(p[2] - 1) / 2.0 for p in per_pass],
@@ -646,6 +674,8 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig
     refined = _subpix_refine(
         img, flat_c,
         ((cfg.subpix_win, cfg.subpix_iters), (3, 4))).reshape(k, 4, 2)
+    if stop == "subpix":
+        return refined, top_score, cand_ok
 
     # 6. decode: sample cell centers through the quad homography
     bits, border_white = _sample_cells(img, refined, cells)

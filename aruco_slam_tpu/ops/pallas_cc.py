@@ -178,15 +178,34 @@ def _flood_scan_kernel(iters: int, scan_rounds: int, label_bits: int,
     out_ref[:] = labels
 
 
+@functools.cache
+def _vmem_allows_scan_kernel() -> bool:
+    """Does this backend's physical VMEM cover the fused kernel's
+    raised 48 MB cap? v4/v5/v6 cores carry 128 MB; v2/v3-class carry
+    16 MB, where requesting vmem_limit_bytes=48MB fails to compile —
+    those parts (and unknown TPU kinds) fall back to `flood_labels` +
+    XLA scans, which stay inside the default scoped budget. Non-TPU
+    backends (interpret mode) have no VMEM to exhaust."""
+    if jax.default_backend() != "tpu":
+        return True
+    kind = jax.devices()[0].device_kind.lower()  # e.g. "tpu v5 lite0"
+    gen = next((int(tok[1:2]) for tok in kind.split()
+                if tok.startswith("v") and tok[1:2].isdigit()), None)
+    return gen is None or gen >= 4
+
+
 def flood_scan_fits(h: int, w: int,
                     max_px: int = 650_000) -> bool:
-    """Can `flood_scan_labels` run (h, w)? Two constraints: the frame
+    """Can `flood_scan_labels` run (h, w)? Three constraints: the frame
     must fit the kernel's VMEM working set (~8 label planes under the
-    raised per-kernel cap), and the monotonic segmented-scan key
+    raised per-kernel cap), the device's physical VMEM must cover that
+    cap (v3-class 16 MB parts fall back — see
+    `_vmem_allows_scan_kernel`), and the monotonic segmented-scan key
     (run id << label bits | label) must fit int32."""
     label_bits = max(1, int(h * w).bit_length())
     run_bits = max(h, w).bit_length()
-    return h * w <= max_px and label_bits + run_bits <= 31
+    return (h * w <= max_px and label_bits + run_bits <= 31
+            and _vmem_allows_scan_kernel())
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

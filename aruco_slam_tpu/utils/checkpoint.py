@@ -35,7 +35,14 @@ def load_checkpoint(path, like):
     n = int(data["num_leaves"])
     leaves = [data[f"leaf_{i}"] for i in range(n)]
     template_leaves, treedef = jax.tree.flatten(like)
-    if len(template_leaves) != n:
+    if len(template_leaves) > n:
+        # forward migration: state fields are only ever APPENDED (e.g.
+        # MekfState.dropped_obs), so a pre-upgrade checkpoint is the
+        # template minus trailing leaves — fill those from the
+        # template's defaults instead of refusing to resume
+        leaves = leaves + [np.asarray(t)
+                           for t in template_leaves[n:]]
+    elif len(template_leaves) < n:
         raise ValueError(
             f"checkpoint has {n} leaves, template has "
             f"{len(template_leaves)}")

@@ -91,6 +91,16 @@ def test_empty_image():
     assert not np.asarray(det.mask).any()
 
 
+def test_tiny_frames_do_not_crash():
+    """The two-level top-K block reduction must leave >= K entries;
+    frames small enough that ceil(n/blk) < max_candidates fall back to
+    the plain sort (round-3 advisor: 64x64 raised ValueError)."""
+    for shape in ((64, 64), (48, 64)):
+        blank = jnp.full(shape, 178, jnp.uint8)
+        det = detect.detect_markers(blank, detect.DetectorConfig())
+        assert not np.asarray(det.mask).any()
+
+
 def test_noise_image_no_false_positives():
     rng = np.random.default_rng(0)
     noise = rng.integers(0, 255, size=(540, 960), dtype=np.uint8)

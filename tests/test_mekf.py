@@ -206,8 +206,10 @@ def test_innovation_gate():
     state = init_state(cfg)
     state = state._replace(
         active=state.active.at[0].set(True) .at[1].set(True),
-        lm=state.lm.at[0].set(jnp.asarray([0.0, 0.0, 2.0]))
-                   .at[1].set(jnp.asarray([0.0, 0.0, 2.0])))
+        lm=state.lm.at[0].set(
+            jnp.asarray([0.0, 0.0, 2.0], state.lm.dtype))
+                   .at[1].set(
+            jnp.asarray([0.0, 0.0, 2.0], state.lm.dtype)))
     obs = FrameObservations(
         t_cl=jnp.asarray([[0.0, 0.0, 2.1],    # near prediction
                           [5.0, 0.0, 2.0],    # 5 m off

@@ -49,6 +49,22 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         load_checkpoint(tmp_path / "c.npz", (jnp.zeros(3),))
 
 
+def test_checkpoint_forward_migration_appended_leaf(tmp_path):
+    """A checkpoint written before a state field was APPENDED (e.g.
+    MekfState.dropped_obs) still resumes: missing trailing leaves fill
+    from the template's defaults."""
+    cfg = MekfConfig(capacity=8)
+    s = init_state(cfg)
+    leaves = list(jnp.asarray(np.asarray(x)) for x in s)
+    old = tuple(leaves[:-1])  # pre-upgrade state: last field absent
+    save_checkpoint(tmp_path / "old.npz", old)
+    s2 = load_checkpoint(tmp_path / "old.npz", init_state(cfg))
+    for a, b in zip(s[:-1], s2[:-1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s2[-1]),
+                                  np.asarray(s[-1]))  # default-filled
+
+
 def test_stage_timer():
     from aruco_slam_tpu.utils.profiling import StageTimer
     t = StageTimer()
