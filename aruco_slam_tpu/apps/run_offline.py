@@ -247,7 +247,7 @@ def _run_fleet(args, cfg: SlamAppConfig, inputs: list[str],
     print(f"fleet solve: {len(seqs)} sequences on a {n_data}x{n_kf} "
           f"(data x kf) mesh, {cfg.batch_iters} LM iters in {dt:.2f}s")
     for i, (src, o) in enumerate(seqs):
-        times, t_cl, q_cl, mask, cam, _amb, slot_ids = o
+        times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = o
         seq_state = jax.tree.map(lambda x, i=i: x[i], out)
         _write_outputs(args, cfg, gcfg, seq_state, times, t_cl, q_cl,
                        mask, slot_ids, src, cam, seq_i=i,
@@ -382,11 +382,11 @@ def main(argv=None) -> None:
 
     if is_video(cfg.input):
         src = None
-        times, t_cl, q_cl, mask, cam, _amb, slot_ids = \
+        times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = \
             load_video_observations(cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam, _amb, slot_ids = \
+        times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = \
             load_observations(src, cfg)
 
     t = len(times)

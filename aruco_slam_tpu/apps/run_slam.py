@@ -63,12 +63,19 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     from aruco_slam_tpu.ops import detect
     dcfg = detect.with_preset(
         detect.DetectorConfig(capacity=cfg.capacity,
-                              dict_name=cfg.dict_name),
+                              dict_name=cfg.dict_name,
+                              slot_max_age=cfg.slot_max_age),
         cfg.detector)
     times, buf, outs = [], [], []
     table = [detect.slot_table_init(dcfg.capacity)]
+    seen = [jnp.zeros(dcfg.capacity, jnp.int32)]
+    fidx = [0]
 
     ke = cfg.track_every
+    if ke and cfg.slot_max_age:
+        raise ValueError("--slot-max-age with --track-every is not "
+                         "supported yet: the streaming carry does not "
+                         "thread the LRU table")
     if ke:
         # streaming front end: the chunk runs as ONE scan whose carry
         # (corners, mask, velocity, id->slot table, frame index)
@@ -91,14 +98,20 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
         ims = jnp.asarray(np.stack(buf))
         if ke:
             track_cr[0], (det_c, det_m) = tracked_chunk(track_cr[0], ims)
+            reset = jnp.zeros(det_m.shape, bool)
+            dropped = jnp.zeros(det_m.shape[0], jnp.int32)
         else:
-            det_c, det_m, table[0] = detect.detect_markers_batch_mapped(
-                ims, dcfg, table[0])
+            # LRU batch path even at slot_max_age=0: identical slot
+            # assignments, but table saturation is COUNTED, not silent
+            det_c, det_m, reset, table[0], seen[0], dropped = \
+                detect.detect_markers_batch_lru(
+                    ims, dcfg, table[0], seen[0], fidx[0])
+        fidx[0] += n
         res = pnp.solve_square_pnp(cam, det_c, cfg.marker_size)
         mask = det_m & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
         # device arrays, not np: keep the dispatch asynchronous
-        outs.append((res.t_cl, res.q_cl, mask, amb, n))
+        outs.append((res.t_cl, res.q_cl, mask, amb, reset, dropped, n))
         buf.clear()
 
     for ts, gray in frame_iter:
@@ -110,10 +123,18 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     if not times:
         raise ValueError("no decodable frames")
     cat = lambda i: np.concatenate(
-        [np.asarray(o[i])[:o[4]] for o in outs])
+        [np.asarray(o[i])[:o[-1]] for o in outs])
     slot_ids = np.asarray(track_cr[0][3] if ke else table[0])
+    dropped_ids = int(sum(np.asarray(o[5])[:o[-1]].sum()
+                          for o in outs))
+    if dropped_ids:
+        print(f"WARNING: {dropped_ids} marker sightings found NO free "
+              f"slot (id->slot table saturated at capacity "
+              f"{dcfg.capacity}); raise --capacity or set "
+              "--slot-max-age N to recycle stale slots")
+    reset_seq = cat(4) if cfg.slot_max_age else None
     return (np.asarray(times), cat(0), cat(1), cat(2), cam, cat(3),
-            slot_ids)
+            slot_ids, reset_seq)
 
 
 def load_camera(cfg: SlamAppConfig, calib_dir=None):
@@ -163,9 +184,11 @@ def load_video_observations(cfg: SlamAppConfig, calib_dir=None):
 
 def load_observations(src: NpzSource, cfg: SlamAppConfig):
     """Return (times, t_cl (T,C,3), q_cl (T,C,4), mask (T,C), cam,
-    ambiguity, slot_ids). ``slot_ids`` maps slot -> marker id for
-    image-domain inputs (the id->slot table); None for corner-/pose-
-    level bundles, whose slot index IS the marker id."""
+    ambiguity, slot_ids, reset). ``slot_ids`` maps slot -> marker id
+    for image-domain inputs (the id->slot table); None for corner-/
+    pose-level bundles, whose slot index IS the marker id. ``reset``
+    (T, C) flags slots the LRU table recycled (forwarded to
+    FrameObservations.reset); None without --slot-max-age."""
     k = src["camera_matrix"] if src.has("camera_matrix") \
         else cfg.camera_matrix
     d = src["dist_coeffs"] if src.has("dist_coeffs") else cfg.dist_coeffs
@@ -184,31 +207,33 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig):
             & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
         return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
-                np.asarray(mask), cam, np.asarray(amb), None)
+                np.asarray(mask), cam, np.asarray(amb), None, None)
     if src.has("t_cl"):
         return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam,
-                None, None)
+                None, None, None)
     raise ValueError(
         f"{src.path}: no 'images', 'corners', or 't_cl' observations")
 
 
-def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
-             with_rotations: bool, viewers=(), load_map_file=None,
-             ambiguity=None, ckpt_every: int = 0, ckpt_path=None,
-             resume=None, slot_ids=None):
-    # auto-size the update compaction width to this sequence: frames
-    # observing more than max_obs slots would silently drop the extras
-    # (filters/mekf.py measurement compaction)
-    max_vis = int(np.asarray(mask).sum(axis=1).max())
+def _auto_max_obs(cfg: SlamAppConfig, mask, capacity: int) -> int:
+    """Update-compaction width for a sequence: frames observing more
+    than max_obs slots would silently drop the extras (filters/mekf.py
+    measurement compaction), so size it from the densest frame."""
+    max_vis = int(np.asarray(mask).sum(axis=-1).max())
     if cfg.max_obs:
-        max_obs = cfg.max_obs
-        if max_vis > max_obs:
-            print(f"WARNING: --max-obs {max_obs} < densest frame "
+        if max_vis > cfg.max_obs:
+            print(f"WARNING: --max-obs {cfg.max_obs} < densest frame "
                   f"({max_vis} markers): extra observations will be "
                   "dropped")
-    else:
-        max_obs = min(t_cl.shape[1], max(16, -(-max_vis // 8) * 8))
-    fcfg = MekfConfig(capacity=t_cl.shape[1], max_obs=max_obs,
+        return cfg.max_obs
+    return min(capacity, max(16, -(-max_vis // 8) * 8))
+
+
+def _mekf_config(cfg: SlamAppConfig, capacity: int, max_obs: int,
+                 with_rotations: bool, cam) -> MekfConfig:
+    """One place mapping driver flags -> MekfConfig (shared by the
+    single-stream and multi-stream serving paths)."""
+    return MekfConfig(capacity=capacity, max_obs=max_obs,
                       with_rotations=with_rotations,
                       r_uncertainty=cfg.mekf_r,
                       q_uncertainty_cam=cfg.mekf_q_cam,
@@ -222,6 +247,15 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                       focal_px=float(cam.fx),
                       marker_size=cfg.marker_size,
                       gate_distance=cfg.gate_distance)
+
+
+def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
+             with_rotations: bool, viewers=(), load_map_file=None,
+             ambiguity=None, ckpt_every: int = 0, ckpt_path=None,
+             resume=None, slot_ids=None, reset=None):
+    max_obs = _auto_max_obs(cfg, mask, t_cl.shape[1])
+    fcfg = _mekf_config(cfg, t_cl.shape[1], max_obs, with_rotations,
+                        cam)
     state = init_state(fcfg)
     if load_map_file:
         from aruco_slam_tpu.io import load_map as _load
@@ -245,7 +279,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
             state = preload_map(fcfg, state, ids, pos, unc)
     seq = FrameObservations(
         jnp.asarray(t_cl), jnp.asarray(q_cl), jnp.asarray(mask),
-        None if ambiguity is None else jnp.asarray(ambiguity))
+        None if ambiguity is None else jnp.asarray(ambiguity),
+        None if reset is None else jnp.asarray(reset))
     tt = len(times)
     start = 0
     cam_traj = np.zeros((tt, 7), np.float32)
@@ -285,7 +320,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         for i in range(start, tt):
             state = mekf_step(fcfg, state, FrameObservations(
                 seq.t_cl[i], seq.q_cl[i], seq.mask[i],
-                None if seq.ambiguity is None else seq.ambiguity[i]))
+                None if seq.ambiguity is None else seq.ambiguity[i],
+                None if seq.reset is None else seq.reset[i]))
             cam_traj[i] = np.asarray(mekf_mod.camera_pose(state))
             _feed_viewers(viewers, cam_traj[i], state.lm,
                           state.active, t_cl[i], q_cl[i], mask[i])
@@ -398,6 +434,173 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
         np.asarray(state.lm), unc
 
 
+def _stream_path(path: str, i: int) -> str:
+    """Per-stream output path: outputs/trajectory.txt -> _s0/_s1/..."""
+    from pathlib import Path
+    pp = Path(path)
+    return str(pp.with_name(f"{pp.stem}_s{i}{pp.suffix}"))
+
+
+def _load_stream_frames(path: str, cfg: SlamAppConfig, calib_dir):
+    """One stream's (times, frames (T, H, W) uint8, cam-or-None, src)."""
+    if is_video(path):
+        vs = VideoSource(path)
+        pairs = list(vs.frames())
+        if not pairs:
+            raise ValueError(f"{path}: no decodable frames")
+        times = np.asarray([t for t, _ in pairs])
+        frames = np.stack([f for _, f in pairs])
+        return times, frames, None, None
+    src = NpzSource(path)
+    if not src.has("images"):
+        raise ValueError(f"{path}: multi-stream serving needs image "
+                         "input (npz 'images' or video)")
+    cam = None
+    if src.has("camera_matrix"):
+        cam = cam_mod.CameraModel.from_matrix(
+            jnp.asarray(src["camera_matrix"]),
+            jnp.asarray(src["dist_coeffs"] if src.has("dist_coeffs")
+                        else cfg.dist_coeffs))
+    return src.times, src["images"], cam, src
+
+
+def run_multi_stream(cfg: SlamAppConfig, inputs: list[str], args,
+                     chunk: int = 32) -> None:
+    """Online multi-camera serving: S independent streams through the
+    batched image->pose pipeline in one program per chunk — the
+    product surface over parallel/multi_slam.batched_mekf_scan
+    (BASELINE config 5; the reference's one-camera driver, reference
+    main/run_slam.py:82, scaled to fleets).
+
+    Per-stream id->slot tables keep marker ids decoupled from slots
+    independently per camera; outputs land in per-stream files
+    (trajectory_s0.txt, map_s0.txt, ...). With more than one JAX
+    device and S divisible by the device count, the stream axis is
+    sharded over a 1-D mesh — streams are independent, so filtering
+    scales linearly (parallel/multi_slam.batched_image_slam's layout).
+
+    Matching single-stream runs: detection + PnP run the identical
+    per-frame programs (chunked exactly like the single-stream front
+    end), so with a shared ``--max-obs`` each stream's trajectory is
+    bitwise what `--input <that stream alone>` produces
+    (tests/test_io_apps.py::test_multi_stream_cli_matches_single).
+    """
+    from aruco_slam_tpu.ops import detect
+
+    loaded = [_load_stream_frames(p, cfg, args.calib) for p in inputs]
+    s = len(loaded)
+    tlen = min(len(t) for t, _, _, _ in loaded)
+    if any(len(t) != tlen for t, _, _, _ in loaded):
+        print(f"streams have unequal lengths; truncating all to "
+              f"{tlen} frames")
+    times = loaded[0][0][:tlen]
+    cam = next((c for _, _, c, _ in loaded if c is not None), None)
+    if cam is None:
+        cam = load_camera(cfg, args.calib)
+    for _, _, _, src in loaded:  # npz marker size, like the 1-stream path
+        if src is not None and src.has("marker_size"):
+            cfg.marker_size = float(src["marker_size"])
+            break
+    frames = np.stack([f[:tlen] for _, f, _, _ in loaded])  # (S,T,H,W)
+
+    dcfg = detect.with_preset(
+        detect.DetectorConfig(capacity=cfg.capacity,
+                              dict_name=cfg.dict_name),
+        cfg.detector)
+    ke = cfg.track_every
+
+    if ke:
+        step = detect.streaming_step(dcfg, ke, streams=s, mapped=True)
+
+        @jax.jit
+        def detect_chunk(carry, ims_ts):  # ims (T, S, H, W) time-major
+            carry, (cs, ms) = jax.lax.scan(step, carry, ims_ts)
+            return carry, cs, ms
+
+        carry = detect.streaming_init(dcfg, streams=s, mapped=True)
+    else:
+        @jax.jit
+        def detect_chunk(tables, ims):    # ims (S, T, H, W)
+            cs, ms, tables = jax.vmap(
+                lambda im, tb: detect.detect_markers_batch_mapped(
+                    im, dcfg, tb))(ims, tables)
+            return tables, cs, ms
+
+        carry = detect.slot_table_init(dcfg.capacity, streams=s)
+
+    outs = []
+    for c0 in range(0, tlen, chunk):
+        ims = frames[:, c0:c0 + chunk]
+        n = ims.shape[1]
+        if n < chunk:  # zero-pad the tail: one compiled program
+            ims = np.concatenate(
+                [ims, np.zeros((s, chunk - n) + ims.shape[2:],
+                               ims.dtype)], axis=1)
+        ims = jnp.asarray(ims)
+        if ke:
+            carry, cs, ms = detect_chunk(
+                carry, jnp.swapaxes(ims, 0, 1))
+            cs, ms = jnp.swapaxes(cs, 0, 1), jnp.swapaxes(ms, 0, 1)
+        else:
+            carry, cs, ms = detect_chunk(carry, ims)
+        res = pnp.solve_square_pnp(cam, cs, cfg.marker_size)
+        mask = ms & (res.err < cfg.max_reproj_px)
+        amb = res.err / jnp.maximum(res.err2, 1e-9)
+        outs.append((res.t_cl, res.q_cl, mask, amb, n))
+    cat = lambda i: np.concatenate(
+        [np.asarray(o[i])[:, :o[4]] for o in outs], axis=1)
+    t_cl, q_cl, mask, amb = cat(0), cat(1), cat(2), cat(3)
+    tables = np.asarray(carry[3] if ke else carry)     # (S, C)
+
+    max_obs = _auto_max_obs(cfg, mask, dcfg.capacity)
+    fcfg = _mekf_config(cfg, dcfg.capacity, max_obs,
+                        cfg.filter == "mekf_rotations", cam)
+    from aruco_slam_tpu.parallel.multi_slam import (
+        batched_mekf_scan, stack_states)
+    states = stack_states([init_state(fcfg)] * s)
+    mesh = None
+    ndev = len(jax.devices())
+    if ndev > 1 and s % ndev == 0:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        print(f"sharding {s} streams over {ndev} devices")
+    obs = FrameObservations(jnp.asarray(t_cl), jnp.asarray(q_cl),
+                            jnp.asarray(mask), jnp.asarray(amb))
+    t0 = time.perf_counter()
+    states, trajs = batched_mekf_scan(fcfg, states, obs, mesh=mesh)
+    trajs = np.asarray(trajs)
+    dt = time.perf_counter() - t0
+    print(f"fleet scan: {s} streams x {tlen} frames in {dt:.3f}s "
+          f"({s * tlen / dt:.1f} fps aggregate)")
+    dropped = np.asarray(states.dropped_obs)
+    if dropped.sum():
+        print(f"WARNING: per-stream dropped observations "
+              f"{dropped.tolist()} under max_obs={fcfg.max_obs}; "
+              "raise --max-obs")
+
+    unc = np.asarray(jax.vmap(
+        lambda st: mekf_mod.landmark_uncertainties(fcfg, st))(states))
+    active = np.asarray(states.active)
+    lm = np.asarray(states.lm)[:, :, :3]
+    for i in range(s):
+        tf = _stream_path(cfg.trajectory_file, i)
+        with TrajectoryWriter(tf) as w:
+            for ts, pose in zip(times, trajs[i]):
+                w.write(float(ts), pose)
+        slots = np.where(active[i])[0]
+        ids = tables[i][slots]
+        mf = _stream_path(cfg.map_file, i)
+        save_map(mf, ids, lm[i][slots], unc[i][:, :3][slots])
+        line = f"stream {i}: {tf} ({tlen} poses), {mf} " \
+               f"({len(ids)} landmarks)"
+        src = loaded[i][3]
+        if src is not None and src.has("gt_cam_t"):
+            from aruco_slam_tpu.bench import ate
+            err = ate.ate_rmse(trajs[i][:, :3], src["gt_cam_t"][:tlen])
+            line += f", ATE {err:.4f} m"
+        print(line)
+
+
 def _feed_viewers(viewers, cam_pose, lm, active, t_cl, q_cl, mask):
     act = np.asarray(active)
     pts = np.asarray(lm)[:, :3][act]
@@ -464,6 +667,18 @@ def main(argv=None) -> None:
                         "full sweep on 2 of every K frames, decode-"
                         "validated corner tracking in between (K >= 3;"
                         " 0 = full detection every frame)")
+    p.add_argument("--slot-max-age", type=int, default=dflt.slot_max_age,
+                   metavar="N",
+                   help="recycle id->slot table slots whose marker "
+                        "went unobserved for N frames once the table "
+                        "is full (corridor runs traversing more than "
+                        "--capacity distinct markers keep mapping; "
+                        "evicted landmarks leave the final map). "
+                        "0 = permanent slots; saturation is still "
+                        "counted and warned")
+    p.add_argument("--capacity", type=int, default=dflt.capacity,
+                   help="landmark slots (simultaneously tracked "
+                        "distinct markers for image inputs)")
     p.add_argument("--dict", dest="dict_name", default=dflt.dict_name,
                    help="marker dictionary for image inputs — any of "
                         "the standard cv2 predefined set "
@@ -543,17 +758,31 @@ def main(argv=None) -> None:
         max_obs=args.max_obs,
         dict_name=args.dict_name,
         track_every=args.track_every,
-        detector=args.detector)
+        detector=args.detector,
+        capacity=args.capacity,
+        slot_max_age=args.slot_max_age)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3 (2 full frames bootstrap "
                 "the velocity prior)")
+    if "," in args.input:
+        # multi-camera serving: --input a.npz,b.npz,... fans the
+        # streams through the batched pixels->pose pipeline
+        if cfg.filter == "factorgraph":
+            p.error("multi-stream serving runs the MEKF backends; for "
+                    "batch factor-graph fleets use run_offline --fleet")
+        if args.viz_2d or args.viz_3d or args.display:
+            print("note: viz/display are per-stream features; the "
+                  "fleet path writes trajectories/maps only")
+        run_multi_stream(cfg, [s for s in args.input.split(",") if s],
+                         args)
+        return
     if is_video(cfg.input):
         src = None
-        times, t_cl, q_cl, mask, cam, amb, slot_ids = \
+        times, t_cl, q_cl, mask, cam, amb, slot_ids, reset = \
             load_video_observations(cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam, amb, slot_ids = \
+        times, t_cl, q_cl, mask, cam, amb, slot_ids, reset = \
             load_observations(src, cfg)
 
     from aruco_slam_tpu.apps import sinks
@@ -568,7 +797,7 @@ def main(argv=None) -> None:
                 viewers=viewers, load_map_file=args.load_map,
                 ambiguity=amb, ckpt_every=args.checkpoint_every,
                 ckpt_path=args.checkpoint, resume=args.resume,
-                slot_ids=slot_ids)
+                slot_ids=slot_ids, reset=reset)
         else:
             cam_traj, active, lm, unc = run_factorgraph(
                 cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,

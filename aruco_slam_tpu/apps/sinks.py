@@ -156,12 +156,18 @@ class LiveDisplaySink:
 
 
 class Live3DDisplaySink:
-    """Interactive 3D MAP window: the reference's Pangolin
-    follow-camera view (reference viewers/viewer_3d.py:52-108) as a
-    fast numpy raster (viz/render3d.py, ~1-2 ms/frame) shown through
-    cv2 — no GL stack. Chase view follows the estimated camera;
-    trajectory/landmarks/detections render like the headless 3D sink.
-    'q' in either window ends the run (sinks.stop_requested)."""
+    """Interactive 3D MAP window: the reference's Pangolin viewer
+    (reference viewers/viewer_3d.py:52-108) as a fast numpy raster
+    (viz/render3d.py, ~1-2 ms/frame) shown through cv2 — no GL stack.
+
+    Navigation matches Pangolin's Handler3D affordances: the default
+    chase view FOLLOWS the estimated camera; left-drag orbits,
+    right-drag pans, the wheel zooms (any of which switches to FREE
+    navigation, seeded from the current follow pose so the view
+    doesn't jump); 'f' toggles back to follow. 'q' in either window
+    ends the run (sinks.stop_requested)."""
+
+    WINDOW = "aruco_slam_tpu 3d"
 
     def __init__(self) -> None:
         self.enabled = display_available()
@@ -169,14 +175,55 @@ class Live3DDisplaySink:
             print("no display server: live 3D map disabled "
                   "(use --viz-3d for headless PNG/mp4 export)")
         self.quit = False
+        self.follow = True
+        self.free_view = None          # render3d.OrbitView once free
+        self._mouse_cb_set = False
+        self._last_xy = None
+        self._last_pose = np.array([0, 0, 0, 1.0, 0, 0, 0])
         # amortized-doubling (N, 3) trajectory buffer: a python list +
         # per-frame np.asarray would re-materialize the whole history
         # every frame (O(T) per frame, O(T²) per run)
         self._traj = np.empty((256, 3), np.float64)
         self._n = 0
 
+    # -- free navigation --------------------------------------------
+    def _ensure_free(self):
+        if self.follow or self.free_view is None:
+            from aruco_slam_tpu.viz.render3d import OrbitView
+            self.follow = False
+            self.free_view = OrbitView.from_pose(self._last_pose)
+        return self.free_view
+
+    def on_mouse(self, event, x, y, flags, _param=None) -> None:
+        """cv2 mouse callback (public so tests can drive it with a
+        stubbed cv2)."""
+        import cv2
+        if event == cv2.EVENT_MOUSEWHEEL:
+            self._ensure_free().zoom(1.0 if flags > 0 else -1.0)
+            return
+        if event in (cv2.EVENT_LBUTTONDOWN, cv2.EVENT_RBUTTONDOWN):
+            self._last_xy = (x, y)
+            return
+        if event == cv2.EVENT_MOUSEMOVE and self._last_xy is not None \
+                and flags & (cv2.EVENT_FLAG_LBUTTON
+                             | cv2.EVENT_FLAG_RBUTTON):
+            dx, dy = x - self._last_xy[0], y - self._last_xy[1]
+            self._last_xy = (x, y)
+            view = self._ensure_free()
+            if flags & cv2.EVENT_FLAG_LBUTTON:
+                view.orbit(dx, dy)
+            else:
+                view.pan(dx, dy)
+
+    def current_view(self):
+        """(rv, eye) actually used for the next frame (None = follow)."""
+        if self.follow or self.free_view is None:
+            return None
+        return self.free_view.rv_eye()
+
     def view_frame(self, cam_pose, pts, det) -> None:
         cam_pose = np.asarray(cam_pose)
+        self._last_pose = cam_pose
         if self._n == len(self._traj):
             self._traj = np.concatenate(
                 [self._traj, np.empty_like(self._traj)])
@@ -190,13 +237,26 @@ class Live3DDisplaySink:
             [r @ np.asarray(t) + cam_pose[:3] for t, _ in det]
         ) if det else None
         img = render_map_frame(cam_pose, self._traj[:self._n],
-                               np.asarray(pts), dw)
+                               np.asarray(pts), dw,
+                               view=self.current_view())
         try:
             import cv2
-            cv2.imshow("aruco_slam_tpu 3d", img[..., ::-1])
-            if (cv2.waitKey(1) & 0xFF) == ord("q"):
+            cv2.imshow(self.WINDOW, img[..., ::-1])
+            if not self._mouse_cb_set:
+                try:
+                    cv2.setMouseCallback(self.WINDOW, self.on_mouse)
+                except Exception:
+                    pass  # backend without mouse support
+                self._mouse_cb_set = True
+            key = cv2.waitKey(1) & 0xFF
+            if key == ord("q"):
                 self.quit = True
                 cv2.destroyAllWindows()
+            elif key == ord("f"):
+                # toggle follow <-> free (free keeps its last state)
+                self.follow = not self.follow
+                if not self.follow:
+                    self._ensure_free()
         except Exception as e:
             print(f"live 3D display unavailable ({e}); continuing "
                   "headless")

@@ -48,29 +48,57 @@ def main(argv=None) -> None:
                                           jnp.asarray(d, jnp.float32))
     scene = synthetic.make_wall_scene(num_markers=args.markers, seed=0)
     traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
-    t0 = time.perf_counter()
-    frames = render_sequence(scene, traj, cam, image_size=(1920, 1080))
-    print(f"# rendered {args.frames} frames in "
-          f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
+    # host rendering is ~2 s/frame here — cache the rendered batch
+    cache = f"/tmp/detect_profile_{args.frames}_{args.markers}.npz"
+    try:
+        frames = np.load(cache)["frames"]
+        print(f"# loaded cached frames from {cache}", flush=True)
+    except (FileNotFoundError, KeyError):
+        t0 = time.perf_counter()
+        frames = render_sequence(scene, traj, cam,
+                                 image_size=(1920, 1080))
+        np.savez(cache, frames=np.asarray(frames))
+        print(f"# rendered {args.frames} frames in "
+              f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
     images = jnp.asarray(frames)
     t = args.frames
 
     cfg = detect.with_preset(detect.DetectorConfig(), args.detector)
 
-    def timeit(name, fn, *a):
-        f = jax.jit(fn)
-        out = jax.block_until_ready(f(*a))  # compile + warm
+    def timeit(name, fn, images):
+        """On-device repetition (lax.fori_loop) with per-rep input
+        perturbation: the tunneled executor memoizes identical calls
+        and its per-dispatch RTT would swamp ms-scale programs, so
+        Python-side rep loops measure nothing real here (see
+        bench/e2e.py). The wrap-safe XOR varies content per rep; the
+        f32 sum of every output leaf keeps the whole prefix live
+        without returning MBs of intermediates through the tunnel."""
+        reps = args.reps
+
+        @jax.jit
+        def loop(images):
+            def body(i, acc):
+                out = fn(images ^ (i % 2).astype(jnp.uint8))
+                return acc + sum(
+                    jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(out))
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        # warm on a DIFFERENT input value than the timed call (the
+        # tunnel executor memoizes identical (executable, args) pairs)
+        # and synchronize by FETCHING the scalar — block_until_ready
+        # can return before remote execution finishes
+        float(loop(images ^ jnp.uint8(2)))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = jax.block_until_ready(f(*a))
-        ms = 1e3 * (time.perf_counter() - t0) / (args.reps * t)
+        float(loop(images))
+        ms = 1e3 * (time.perf_counter() - t0) / (reps * t)
         print(f"# {name:<28s} {ms:8.3f} ms/frame", flush=True)
-        return out, ms
+        return None, ms
 
     # -- full detector (batched, what e2e measures) --
     _, full_ms = timeit(
         "detect_markers (full)",
-        lambda im: detect.detect_markers_batch(im, cfg), images)
+        lambda im: detect.detect_markers_batch(im, cfg)[:2], images)
 
     # -- stage prefixes (vmapped over the frame batch like the real
     # detector; each prefix timed alone, so stage cost = successive

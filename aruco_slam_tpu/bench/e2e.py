@@ -196,9 +196,13 @@ def main(argv=None) -> None:
         timed_args = lambda images: (images, states0)
 
     images = jnp.asarray(frames)
-    jax.block_until_ready(timed(*timed_args(images)))  # compile + warm
+    # tunnel-executor discipline (see bench/pipeline.time_on_device):
+    # warm on a DIFFERENT input value (identical calls are memoized)
+    # and synchronize by FETCHING the scalar (block_until_ready can
+    # return before remote execution finishes)
+    float(timed(*timed_args(images ^ jnp.uint8(2))))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(timed(*timed_args(images)))
+    float(timed(*timed_args(images)))
     dt = (time.perf_counter() - t0) / reps
     fps = ns * t / dt
 
@@ -218,19 +222,27 @@ def main(argv=None) -> None:
     def mekf_only(obs, state):
         return mekf_scan(fcfg, state, obs)
 
-    cs, ms = jax.block_until_ready(detect_only(images))  # warm
-    res = jax.block_until_ready(pnp_only(cs))
+    # warm calls use PERTURBED inputs and each timed call is the FIRST
+    # with its real input: the tunnel executor memoizes identical
+    # (executable, args) calls, so warming on the timed input would
+    # turn every stage below into a cache hit
+    timer = StageTimer()
+    mekf_jit = jax.jit(mekf_only)
     merge = lambda a: a.reshape(t, *a.shape[2:])
+
+    jax.block_until_ready(detect_only(images ^ jnp.uint8(2)))  # warm
+    with timer.stage("detect") as s:
+        s["result"] = detect_only(images)
+    cs, ms = s["result"]
+    jax.block_until_ready(pnp_only(cs + 1e-3))                 # warm
+    with timer.stage("pnp") as s:
+        s["result"] = pnp_only(cs)
+    res = s["result"]
     obs = FrameObservations(
         merge(res.t_cl), merge(res.q_cl),
         ms & (merge(res.err) < 3.0))
-    mekf_jit = jax.jit(mekf_only)
-    jax.block_until_ready(mekf_jit(obs, state0))
-    timer = StageTimer()
-    with timer.stage("detect") as s:
-        s["result"] = detect_only(images)
-    with timer.stage("pnp") as s:
-        s["result"] = pnp_only(cs)
+    jax.block_until_ready(mekf_jit(
+        obs._replace(t_cl=obs.t_cl + 1e-3), state0))           # warm
     with timer.stage("mekf") as s:
         s["result"] = mekf_jit(obs, state0)
     for line in timer.report().splitlines():

@@ -30,9 +30,15 @@ def time_on_device(pipe_fn, state, corners, mask, reps: int) -> float:
             return acc + tr.sum()
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    jax.block_until_ready(timed(corners, mask, state))  # compile+warm
+    # Two more tunnel-executor hazards beyond the on-device rep loop:
+    # (1) identical (executable, args) calls are MEMOIZED — the warm
+    # call must use a DIFFERENT input value than the timed call;
+    # (2) block_until_ready can return before remote execution
+    # finishes — only fetching the (scalar) value synchronizes, so
+    # time `float(...)`, never block_until_ready.
+    float(timed(corners + 1e-6, mask, state))  # compile+warm
     t0 = time.perf_counter()
-    jax.block_until_ready(timed(corners, mask, state))
+    float(timed(corners, mask, state))
     return (time.perf_counter() - t0) / reps
 
 

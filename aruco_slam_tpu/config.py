@@ -23,6 +23,12 @@ class SlamAppConfig:
     filter: str = "mekf"          # mekf | mekf_rotations | factorgraph
     marker_size: float = 0.16     # meters (reference base_filter.py:178)
     capacity: int = 64
+    # LRU slot recycling: > 0 lets a NEW marker id evict a slot whose
+    # marker went unobserved for this many frames once the table is
+    # full, so corridor-style runs traversing more than `capacity`
+    # distinct markers keep mapping (ops/detect.assign_slots_lru);
+    # 0 = slots permanent (saturation still counted + warned)
+    slot_max_age: int = 0
     # marker dictionary for image-domain inputs (reference
     # base_filter.py:82 hardcodes DICT_5X5_50; calibration uses
     # AprilTag 36h11) — ops/dictionary.py names

@@ -228,6 +228,12 @@ class FrameObservations(NamedTuple):
     # stable across both basins). Used to de-weight rotation rows in
     # rotation mode; None = assume unambiguous.
     ambiguity: jnp.ndarray | None = None
+    # optional (C,) bool: slots RECYCLED by the detector's LRU table
+    # this frame (ops/detect.assign_slots_lru) — the slot now carries a
+    # DIFFERENT marker, so the landmark is deactivated before the
+    # update and re-initializes from this frame's observation through
+    # the normal consistent augmentation. None = no recycling.
+    reset: jnp.ndarray | None = None
 
 
 def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
@@ -476,6 +482,12 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
         # accounts for model error. Replacing cam_t on the state makes
         # every downstream linearization use the predicted nominal.
         state = state._replace(cam_t=state.cam_t + state.vel)
+
+    # --- slot recycling: a reset slot's landmark belongs to a marker
+    # the detector evicted — deactivate so this frame's observation
+    # re-initializes it (mean AND covariance, via the augmentation) ---
+    if obs.reset is not None:
+        state = state._replace(active=state.active & ~obs.reset)
 
     # --- activation: initialize newly seen landmarks in the map frame ---
     new = mask & ~state.active

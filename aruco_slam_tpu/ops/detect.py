@@ -95,6 +95,26 @@ class DetectorConfig(NamedTuple):
                                   # if uniform coverage matters
     max_hamming: int = 1          # payload correction budget
     border_max_white: int = 2     # tolerated white border cells
+    slot_max_age: int = 0         # LRU slot recycling: a new marker
+                                  # id may evict a slot unobserved for
+                                  # more than this many frames when
+                                  # the table is full (corridor runs
+                                  # traversing > capacity distinct
+                                  # markers keep mapping). 0 = slots
+                                  # are permanent (drops counted via
+                                  # assign_slots_lru / the lru batch
+                                  # path either way)
+    refine_budget: int = 0        # candidates kept (after geometric
+                                  # dedup across the sweep's passes)
+                                  # into subpixel refinement + decode;
+                                  # 0 (default) = refine all passes*K.
+                                  # Off by default because the global
+                                  # top-budget ranks by AREA: big dark
+                                  # clutter blobs outrank real markers
+                                  # (measured: budget 48 misses 9 ids
+                                  # the full width catches on the
+                                  # cluttered-background suite) — use
+                                  # on clean/controlled scenes only
     pallas: bool | None = None    # VMEM-resident flood kernel; None =
                                   # auto (on when running on TPU)
 
@@ -262,16 +282,19 @@ def _connected_components(fg: jnp.ndarray, iters: int,
     return labels
 
 
-def _quad_corners(masks: jnp.ndarray) -> jnp.ndarray:
-    """Extreme-point quad corners for K component masks (K, h, w).
-    Returns (K, 4, 2) low-res (x, y), clockwise from an arbitrary
-    corner."""
-    k, h, w = masks.shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    m = masks.reshape(k, -1).astype(jnp.float32)
-    xf = xs.reshape(-1)
-    yf = ys.reshape(-1)
+def _quad_corners_compact(xf: jnp.ndarray, yf: jnp.ndarray,
+                          valid: jnp.ndarray) -> jnp.ndarray:
+    """Extreme-point quad corners from COMPACT per-candidate pixel
+    lists: xf/yf (K, N) low-res coords, valid (K, N). Returns
+    (K, 4, 2) (x, y), clockwise from an arbitrary corner.
+
+    Same geometry as the old dense-mask form (farthest-from-centroid,
+    farthest-from-that = the diagonal, extremes either side of it),
+    but on the component's own pixels (N = max_area) instead of a
+    (K, h, w) mask stack — the mask stack plus its masked-argmax score
+    planes cost ~50 MB of HBM traffic per pass at 1080p; the compact
+    lists hold the whole stage under 1 MB."""
+    m = valid.astype(jnp.float32)
     cnt = jnp.maximum(m.sum(-1), 1.0)
     cx = (m * xf).sum(-1) / cnt
     cy = (m * yf).sum(-1) / cnt
@@ -279,18 +302,19 @@ def _quad_corners(masks: jnp.ndarray) -> jnp.ndarray:
     neg = -1e9
 
     def argpt(score):
-        idx = jnp.argmax(jnp.where(m > 0, score, neg), axis=-1)
-        return jnp.stack([xf[idx], yf[idx]], -1)  # (K, 2)
+        idx = jnp.argmax(jnp.where(valid, score, neg), axis=-1)
+        take = lambda a: jnp.take_along_axis(a, idx[:, None],
+                                             axis=1)[:, 0]
+        return jnp.stack([take(xf), take(yf)], -1)  # (K, 2)
 
-    d0 = (xf[None] - cx[:, None]) ** 2 + (yf[None] - cy[:, None]) ** 2
+    d0 = (xf - cx[:, None]) ** 2 + (yf - cy[:, None]) ** 2
     c0 = argpt(d0)
-    d1 = (xf[None] - c0[:, :1]) ** 2 + (yf[None] - c0[:, 1:]) ** 2
+    d1 = (xf - c0[:, :1]) ** 2 + (yf - c0[:, 1:]) ** 2
     c1 = argpt(d1)
     # signed area relative to the diagonal c0 -> c1
     ex = c1[:, 0] - c0[:, 0]
     ey = c1[:, 1] - c0[:, 1]
-    s = (xf[None] - c0[:, :1]) * ey[:, None] \
-        - (yf[None] - c0[:, 1:]) * ex[:, None]
+    s = (xf - c0[:, :1]) * ey[:, None] - (yf - c0[:, 1:]) * ex[:, None]
     c2 = argpt(s)
     c3 = argpt(-s)
     quad = jnp.stack([c0, c2, c1, c3], axis=1)  # (K, 4, 2) around hull
@@ -450,7 +474,8 @@ def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
 def candidate_stage_names() -> tuple[str, ...]:
     """Prefix checkpoints `_detect_candidates(stop=...)` accepts, in
     pipeline order — the bench/detect_profile stage split."""
-    return ("pools", "flood", "harvest", "subpix", "decode")
+    return ("rawpools", "pools", "flood", "sort", "harvest",
+            "subpix_gather", "subpix", "homog", "sample", "decode")
 
 
 def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
@@ -518,6 +543,7 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
             win_by_ds[ds].append(wl_)
     pools: dict[int, tuple] = {}
     per_pass = []
+    raw_pools = []
     for wf, ds in passes:
         if ds not in pools:
             hl, wl = h // ds, w // ds
@@ -532,12 +558,15 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
             small_avg = jax.lax.reduce_window(
                 crop, 0.0, jax.lax.add, (ds, ds), (ds, ds), "VALID") \
                 * (1.0 / (ds * ds))
+            raw_pools.append((small_min, small_avg))
+            if stop == "rawpools":
+                continue
             # one shared integral image serves every window at this
             # downscale (the two coarse passes differ only in window)
             means = dict(zip(win_by_ds[ds], _box_mean_multi(
                 small_avg, tuple(win_by_ds[ds]))))
             pools[ds] = (hl, wl, small_min, small_avg, means)
-        if stop == "pools":
+        if stop in ("pools", "rawpools"):
             continue
         hl, wl, small_min, small_avg, means = pools[ds]
         bg_label = hl * wl
@@ -578,10 +607,15 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
         sub = base_ds // ds
         labs = labels[::sub, ::sub] if sub > 1 else labels
         per_pass.append((labs, bg_label, ds))
+    if stop == "rawpools":
+        return tuple(x for rp in raw_pools for x in rp)
     if stop == "pools":
         return tuple(pools[ds][2] for ds in pools)
     if stop == "flood":
         return tuple(p[0] for p in per_pass)
+    if stop == "sort":
+        return jax.vmap(lambda l: jnp.sort(l.reshape(-1)))(
+            jnp.stack([p[0] for p in per_pass]))
 
     # 3+4. component areas -> top-K candidates -> quad corners, BATCHED
     # over the passes: every pass's label image lands on the same
@@ -599,10 +633,16 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
     bgs = jnp.asarray([p[1] for p in per_pass], jnp.int32)
 
     def harvest(labs, bg_label):
+        hl2, wl2 = labs.shape
         n = labs.size
         max_area = int(cfg.max_area_frac * n)
-        s_lab = jnp.sort(labs.reshape(-1))      # background last
         idx = jnp.arange(n, dtype=jnp.int32)
+        # keep each pixel's flat position through the sort: the
+        # sorted array then holds every component as a CONTIGUOUS run
+        # of its pixel positions, which is what lets the quad stage
+        # slice compact per-candidate pixel lists instead of building
+        # a (K, h, w) mask stack (see _quad_corners_compact)
+        s_lab, s_pos = jax.lax.sort_key_val(labs.reshape(-1), idx)
         start = jnp.concatenate(
             [jnp.ones(1, bool), s_lab[1:] != s_lab[:-1]])
         start_pos = jnp.where(start, idx, n)
@@ -640,19 +680,28 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
             red = key.reshape(-1, blk).max(axis=1)
             top_key, _ = jax.lax.top_k(red, k)
             top_score = top_key >> pos_bits
-            roots = s_lab[n - 1 - (top_key & pmask)]
+            starts = n - 1 - (top_key & pmask)  # run starts in s_pos
         else:
             if n < k:  # micro frame: fewer pixels than candidate slots
                 score = jnp.concatenate(
                     [score, jnp.zeros(k - n, score.dtype)])
-                s_lab = jnp.concatenate(
-                    [s_lab, jnp.full(k - n, bg_label, s_lab.dtype)])
-            top_score, pos = jax.lax.top_k(score, k)
-            roots = s_lab[pos]                  # K-element gather only
+            top_score, starts = jax.lax.top_k(score, k)
         cand_ok = top_score > 0
-        masks = labs[None, :, :] == roots[:, None, None]
-        masks = masks & cand_ok[:, None, None]
-        return _quad_corners(masks), top_score, cand_ok
+        # compact per-candidate pixel lists: component j's pixels are
+        # s_pos[starts_j : starts_j + cnt_j] (one contiguous slice) —
+        # cap at max_area (the area gate's own bound), pad so invalid
+        # starts never clamp-shift a valid run
+        cap = min(max_area, n)
+        pos_pad = jnp.concatenate(
+            [s_pos, jnp.zeros(cap + k, jnp.int32)])
+        pix = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            pos_pad, (st,), (cap,)))(starts)     # (K, cap)
+        valid = (jnp.arange(cap)[None, :] < top_score[:, None]) \
+            & cand_ok[:, None]
+        xf = (pix % wl2).astype(jnp.float32)
+        yf = (pix // wl2).astype(jnp.float32)
+        return (_quad_corners_compact(xf, yf, valid), top_score,
+                cand_ok)
 
     quads, scores, oks = jax.vmap(harvest)(labs_stack, bgs)
     if stop == "harvest":
@@ -667,15 +716,47 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
     cand_ok = oks.reshape(-1)
     k = k * len(passes)  # candidate count downstream of this point
 
+    # Candidate budget: the passes see the SAME markers (that is the
+    # sweep's point), so of the P*K harvested candidates only ~1/P are
+    # distinct — yet subpixel refinement and decode pay for all of
+    # them. Geometric dedup (same component found by several passes ->
+    # centroids within ~2 coarse pixels; the best-scoring copy is the
+    # one id-dedup would pick after decode anyway) then a global
+    # top-`refine_budget` by area caps the downstream width. Distinct
+    # markers can't collide: min_area forces >= 4x4 coarse-pixel
+    # components, so centroids of different markers sit > 2 coarse px
+    # apart.
+    b = cfg.refine_budget
+    if b and b < k:
+        cent = quads_full.mean(axis=1)                     # (k, 2)
+        idx_k = jnp.arange(k, dtype=jnp.int32)
+        pri = top_score * k + (k - 1 - idx_k)  # score, tie: low index
+        near = (jnp.max(jnp.abs(cent[:, None, :] - cent[None, :, :]),
+                        axis=-1) < 2.0 * base_ds)
+        better = near & cand_ok[None, :] & (pri[None, :] > pri[:, None])
+        alive = cand_ok & ~better.any(axis=1)
+        top_score, sel = jax.lax.top_k(
+            jnp.where(alive, top_score, 0), b)
+        quads_full = quads_full[sel]
+        cand_ok = top_score > 0
+        k = b
+
     # 5. subpixel refinement on the full-res image: a coarse pass pulls
     # the low-res (±downscale px) estimate into the basin, then a tight
     # window sharpens without dragging in the marker's interior edges.
     flat_c = quads_full.reshape(-1, 2)
+    if stop == "subpix_gather":  # patch gather alone (0 iterations)
+        return _subpix_refine(
+            img, flat_c, ((cfg.subpix_win, 0), (3, 0)))
     refined = _subpix_refine(
         img, flat_c,
         ((cfg.subpix_win, cfg.subpix_iters), (3, 4))).reshape(k, 4, 2)
     if stop == "subpix":
         return refined, top_score, cand_ok
+    if stop == "homog":
+        return _homography_cells(refined, cells)
+    if stop == "sample":
+        return _sample_cells(img, refined, cells)
 
     # 6. decode: sample cell centers through the quad homography
     bits, border_white = _sample_cells(img, refined, cells)
@@ -774,6 +855,46 @@ def assign_slots(table_ids: jnp.ndarray, canon: jnp.ndarray,
     #  * unseen ids claim free slots in FIRST-OCCURRENCE order (the
     #    loop claims at the first same-id candidate, not the winner),
     #  * when free slots run out, later new ids drop.
+    out = _assign_slots_impl(table_ids, canon, cand_ids, decoded,
+                             top_score)
+    return out[0], out[1], out[2]
+
+
+def assign_slots_lru(table_ids: jnp.ndarray, last_seen: jnp.ndarray,
+                     frame_idx, max_age: int, canon: jnp.ndarray,
+                     cand_ids: jnp.ndarray, decoded: jnp.ndarray,
+                     top_score: jnp.ndarray):
+    """`assign_slots` with SLOT RECYCLING + saturation accounting —
+    the bounded-state answer to the reference's unbounded landmark
+    registration (reference extended_kalman_filter.py:239-290): long
+    corridor-style runs traverse more distinct markers than slots, so
+    a full table must not stop mapping forever.
+
+    ``last_seen`` (C,): frame index each claimed slot last received an
+    observation; ``frame_idx``: the current frame; ``max_age`` > 0
+    lets a new id EVICT the least-recently-seen slot that has gone
+    unobserved for more than max_age frames (truly-free slots are
+    always claimed first; slots observed this frame are never
+    evicted). max_age == 0 disables eviction but still counts drops.
+
+    Returns (corners (C,4,2), mask (C,), table_ids, last_seen,
+    evicted (C,) — slots reassigned THIS call, whose filter landmark
+    must be reset before the update (FrameObservations.reset),
+    dropped () int32 — new ids that found no slot: nonzero means the
+    table SATURATED; surface it loudly à la MekfState.dropped_obs).
+    """
+    slot_c, slot_mask, table_ids, evicted, dropped = _assign_slots_impl(
+        table_ids, canon, cand_ids, decoded, top_score,
+        last_seen=last_seen, frame_idx=frame_idx, max_age=max_age)
+    last_seen = jnp.where(slot_mask, jnp.asarray(frame_idx, jnp.int32),
+                          last_seen)
+    return slot_c, slot_mask, table_ids, last_seen, evicted, dropped
+
+
+def _assign_slots_impl(table_ids, canon, cand_ids, decoded, top_score,
+                       last_seen=None, frame_idx=None, max_age: int = 0):
+    c = table_ids.shape[0]
+    k = canon.shape[0]
     ok = decoded & (cand_ids >= 0)
     idx = jnp.arange(k, dtype=jnp.int32)
     same = ok[:, None] & ok[None, :] \
@@ -790,25 +911,45 @@ def assign_slots(table_ids: jnp.ndarray, canon: jnp.ndarray,
     rank = jnp.sum(neww[None, :] & (occ[None, :] < occ[:, None]),
                    axis=1)                             # claims before i
     free = table_ids < 0
-    free_rank = jnp.cumsum(free) - 1                   # (C,)
-    claim_ok = neww & (rank < free.sum())
-    slot_new = jnp.argmax(free[None, :]
-                          & (free_rank[None, :] == rank[:, None]),
-                          axis=1)
+    if max_age:
+        # claim ordering: free slots first (in index order — the
+        # historical first-seen compaction), then evictable slots
+        # stalest-first. A slot receiving an observation THIS frame is
+        # protected. Monotonic int32 key + top_k (ties -> lowest slot).
+        receiving = (known & winner[:, None]).any(axis=0)  # (C,)
+        age = jnp.asarray(frame_idx, jnp.int32) - last_seen
+        stale = ~free & ~receiving & (age > max_age)
+        big = jnp.int32(1) << 29      # 2*big must stay inside int32
+        key = jnp.where(free, 2 * big,
+                        jnp.where(stale, jnp.minimum(age, big - 1),
+                                  jnp.int32(-1)))
+        _, order = jax.lax.top_k(key, c)               # slots best-first
+        n_claim = (free | stale).sum()
+        claim_ok = neww & (rank < n_claim)
+        slot_new = order[jnp.clip(rank, 0, c - 1)]
+    else:
+        free_rank = jnp.cumsum(free) - 1               # (C,)
+        claim_ok = neww & (rank < free.sum())
+        slot_new = jnp.argmax(free[None, :]
+                              & (free_rank[None, :] == rank[:, None]),
+                              axis=1)
     slot = jnp.where(has_known, jnp.argmax(known, axis=1), slot_new)
     placed = (winner & has_known) | claim_ok
     onehot = placed[:, None] & (jnp.arange(c)[None, :]
                                 == slot[:, None])      # (K, C)
     claim_oh = onehot & claim_ok[:, None]
+    claimed = claim_oh.any(axis=0)
+    evicted = claimed & (table_ids >= 0)               # recycled slots
+    dropped = (neww & ~claim_ok).sum().astype(jnp.int32)
     table_ids = jnp.where(
-        claim_oh.any(axis=0),
+        claimed,
         jnp.sum(jnp.where(claim_oh, cand_ids[:, None], 0), axis=0,
                 dtype=table_ids.dtype),
         table_ids)
     slot_mask = onehot.any(axis=0)
     slot_c = jnp.where(slot_mask[:, None, None],
                        canon[jnp.argmax(onehot, axis=0)], 0.0)
-    return slot_c, slot_mask, table_ids
+    return slot_c, slot_mask, table_ids, evicted, dropped
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -857,6 +998,37 @@ def detect_markers_batch_mapped(images: jnp.ndarray,
     table_ids, (slot_c, slot_m) = jax.lax.scan(
         step, table_ids, (canon, cand_ids, decoded, top_score))
     return slot_c, slot_m, table_ids
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_markers_batch_lru(images: jnp.ndarray, cfg: DetectorConfig,
+                             table_ids: jnp.ndarray,
+                             last_seen: jnp.ndarray, frame0
+                             ):
+    """`detect_markers_batch_mapped` with LRU slot recycling +
+    saturation accounting (see `assign_slots_lru`): the candidate
+    pipeline vectorizes over the (T, H, W) chunk; slot assignment
+    scans with (table_ids, last_seen) carry starting at absolute
+    frame index ``frame0``.
+
+    Returns (corners (T,C,4,2), mask (T,C), reset (T,C) — slots
+    recycled at each frame, to be forwarded as
+    FrameObservations.reset so the filter re-initializes them —
+    table_ids, last_seen, dropped (T,) per-frame saturated-id counts).
+    """
+    canon, cand_ids, decoded, top_score = jax.vmap(
+        lambda im: _detect_candidates(im, cfg))(images)
+
+    def step(cr, xs):
+        tids, seen, i = cr
+        sc, sm, tids, seen, ev, dr = assign_slots_lru(
+            tids, seen, i, cfg.slot_max_age, *xs)
+        return (tids, seen, i + 1), (sc, sm, ev, dr)
+
+    (table_ids, last_seen, _), (slot_c, slot_m, reset, dropped) = \
+        jax.lax.scan(step, (table_ids, last_seen, jnp.int32(frame0)),
+                     (canon, cand_ids, decoded, top_score))
+    return slot_c, slot_m, reset, table_ids, last_seen, dropped
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -28,10 +28,18 @@ class StageTimer:
         t0 = time.perf_counter()
         out = {}
         yield out
-        if "result" in out:
-            jax.block_until_ready(out["result"])
-        elif result is not None:
-            jax.block_until_ready(result)
+        res = out.get("result", result)
+        if res is not None:
+            jax.block_until_ready(res)
+            # On the tunneled executor block_until_ready can return
+            # BEFORE remote execution finishes; only a value fetch
+            # synchronizes. Pull one element of one leaf (scalar
+            # device->host read) so the stage time is real — costs one
+            # dispatch RTT, which is noise at the ms scales timed here.
+            for leaf in jax.tree.leaves(res):
+                if hasattr(leaf, "ravel"):
+                    float(leaf.ravel()[0])
+                    break
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 

@@ -82,6 +82,56 @@ def scene_view(points: np.ndarray, traj: np.ndarray
     return look_at(eye, center, np.array([0.0, -1.0, 0.0]))
 
 
+class OrbitView:
+    """Mouse-driven free view: orbit / pan / zoom around a target —
+    the role of Pangolin's Handler3D interactive render state
+    (reference viewers/viewer_3d.py:52-108) for the live map window.
+
+    Screen-space gestures map to view updates the way GL orbit
+    controllers do: left-drag orbits (azimuth/elevation on a sphere
+    around the target), right-drag pans (target slides in the view
+    plane, scaled by radius so motion tracks the cursor), wheel zooms
+    (radius scales geometrically)."""
+
+    def __init__(self, target=(0.0, 0.0, 2.0), radius=5.0,
+                 azimuth=0.5, elevation=-0.45) -> None:
+        self.target = np.asarray(target, np.float64).copy()
+        self.radius = float(radius)
+        self.az = float(azimuth)
+        self.el = float(elevation)
+
+    @classmethod
+    def from_pose(cls, cam_pose, radius=4.0) -> "OrbitView":
+        """Seed the free view from the followed camera so toggling
+        follow->free doesn't jump."""
+        return cls(target=np.asarray(cam_pose[:3], np.float64),
+                   radius=radius)
+
+    def rv_eye(self) -> tuple[np.ndarray, np.ndarray]:
+        ca, sa = np.cos(self.az), np.sin(self.az)
+        ce, se = np.cos(self.el), np.sin(self.el)
+        # world up is -y (OpenCV): elevation<0 looks down from above
+        direction = np.array([ca * ce, se, sa * ce])
+        eye = self.target - self.radius * direction
+        return look_at(eye, self.target, np.array([0.0, -1.0, 0.0]))
+
+    def orbit(self, dx_px: float, dy_px: float) -> None:
+        self.az += 0.008 * dx_px
+        self.el = float(np.clip(self.el - 0.008 * dy_px,
+                                -1.45, 1.45))
+
+    def pan(self, dx_px: float, dy_px: float) -> None:
+        rv, _ = self.rv_eye()
+        scale = 0.0025 * self.radius
+        # drag right moves the WORLD right under the cursor: target
+        # shifts along -view_right; same for vertical
+        self.target -= scale * (dx_px * rv[0] + dy_px * rv[1])
+
+    def zoom(self, steps: float) -> None:
+        self.radius = float(np.clip(
+            self.radius * (0.9 ** steps), 0.2, 500.0))
+
+
 def _project(pts: np.ndarray, rv: np.ndarray, eye: np.ndarray,
              f: float, cx: float, cy: float
              ) -> tuple[np.ndarray, np.ndarray]:
@@ -102,21 +152,25 @@ def render_map_frame(cam_pose: np.ndarray, traj: np.ndarray,
                      detections: np.ndarray | None = None,
                      size: tuple[int, int] = (480, 640),
                      follow: bool = True,
-                     fov_deg: float = 60.0) -> np.ndarray:
+                     fov_deg: float = 60.0,
+                     view: tuple[np.ndarray, np.ndarray] | None = None
+                     ) -> np.ndarray:
     """Render one 3D map frame to (H, W, 3) uint8.
 
     cam_pose: (7,) [xyz, quat wxyz]; traj: (T, 3) camera positions so
     far; points: (L, 3) world landmarks; detections: (D, 3) world-frame
     raw detections (or None). `follow=True` chases the camera
     (interactive parity with the reference's follow mode); False gives
-    a static whole-scene view.
+    a static whole-scene view. An explicit `view` (rv, eye) — e.g.
+    `OrbitView.rv_eye()` for the live window's free navigation —
+    overrides both.
     """
     h, w = size
     img = np.empty((h, w, 3), np.uint8)
     img[:] = _BG
     traj = np.asarray(traj, np.float64).reshape(-1, 3)
-    rv, eye = follow_view(cam_pose) if follow \
-        else scene_view(points, traj)
+    rv, eye = view if view is not None else (
+        follow_view(cam_pose) if follow else scene_view(points, traj))
     f = 0.5 * w / np.tan(np.radians(fov_deg) / 2.0)
     cx, cy = w / 2.0, h / 2.0
 

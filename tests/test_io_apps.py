@@ -227,6 +227,53 @@ def test_display_quit_key_stops_run(image_seq_file, tmp_path,
     assert len(times) == 1, "quit key did not stop the run"
 
 
+def test_display_3d_free_navigation(monkeypatch):
+    """The live 3D window's free navigation (the reference's Pangolin
+    Handler3D orbit/zoom/pan, reference viewers/viewer_3d.py:52-108):
+    dragging orbits, the wheel zooms, right-drag pans — each changing
+    the view matrix — and 'f' returns to the follow camera."""
+    import sys
+    import types
+    cbs = {}
+    fake_cv2 = types.SimpleNamespace(
+        imshow=lambda *a, **k: None,
+        waitKey=lambda ms: 255,
+        destroyAllWindows=lambda: None,
+        setMouseCallback=lambda win, cb: cbs.__setitem__("cb", cb),
+        EVENT_MOUSEMOVE=0, EVENT_LBUTTONDOWN=1, EVENT_RBUTTONDOWN=2,
+        EVENT_MOUSEWHEEL=10, EVENT_FLAG_LBUTTON=1, EVENT_FLAG_RBUTTON=2)
+    monkeypatch.setitem(sys.modules, "cv2", fake_cv2)
+    monkeypatch.setenv("DISPLAY", ":0")
+    from aruco_slam_tpu.apps.sinks import Live3DDisplaySink
+    s = Live3DDisplaySink()
+    pose = np.array([0.2, 0.1, 0.5, 1.0, 0, 0, 0])
+    s.view_frame(pose, np.zeros((0, 3)), [])
+    assert "cb" in cbs
+    assert s.current_view() is None          # follow mode by default
+    cb = cbs["cb"]
+    cb(fake_cv2.EVENT_LBUTTONDOWN, 100, 100, 0, None)
+    cb(fake_cv2.EVENT_MOUSEMOVE, 140, 90,
+       fake_cv2.EVENT_FLAG_LBUTTON, None)
+    v1 = s.current_view()
+    assert v1 is not None                    # drag entered free mode
+    rv1, _ = v1
+    cb(fake_cv2.EVENT_MOUSEMOVE, 180, 80,
+       fake_cv2.EVENT_FLAG_LBUTTON, None)
+    rv2, _ = s.current_view()
+    assert not np.allclose(rv1, rv2)         # orbit moved the view
+    r_before = s.free_view.radius
+    cb(fake_cv2.EVENT_MOUSEWHEEL, 0, 0, 1, None)
+    assert s.free_view.radius < r_before     # wheel zoomed in
+    tgt_before = s.free_view.target.copy()
+    cb(fake_cv2.EVENT_RBUTTONDOWN, 50, 50, 0, None)
+    cb(fake_cv2.EVENT_MOUSEMOVE, 70, 60,
+       fake_cv2.EVENT_FLAG_RBUTTON, None)
+    assert not np.allclose(s.free_view.target, tgt_before)  # panned
+    fake_cv2.waitKey = lambda ms: ord("f")   # toggle back to follow
+    s.view_frame(pose, np.zeros((0, 3)), [])
+    assert s.follow and s.current_view() is None
+
+
 def test_run_offline_viz_replay(image_seq_file, tmp_path):
     """Offline pass-2 replay constructs viewers and feeds smoothed
     poses (reference main/run_offline.py:124-142)."""
@@ -241,6 +288,46 @@ def test_run_offline_viz_replay(image_seq_file, tmp_path):
     pngs = sorted((viz / "2d").glob("frame_*.png"))
     assert len(pngs) == 6
     assert np.mean(iio.imread(pngs[0])) > 60
+
+
+def test_multi_stream_cli_matches_single(tmp_path):
+    """`run_slam --input a.npz,b.npz` (multi-camera serving): fans S
+    image streams through the batched pixels->pose pipeline with
+    per-stream id->slot tables, and each stream's trajectory/map must
+    match the single-stream run of that input (the offline fleet CLI
+    guarantee, applied to the ONLINE driver — VERDICT r3 #2)."""
+    from aruco_slam_tpu.apps import make_synthetic, run_slam
+    from aruco_slam_tpu.io import sources
+    k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
+                  [0.0, 0.0, 1.0]])
+    paths = []
+    for i in range(2):
+        bundle = make_synthetic.build(
+            frames=6, markers=6, capacity=16, noise_px=0.2, seed=i,
+            camera_matrix=k, dist_coeffs=np.zeros(5), with_images=True,
+            image_size=(720, 405))
+        p = tmp_path / f"s{i}.npz"
+        sources.save_npz(p, **bundle)
+        paths.append(p)
+    run_slam.main(["--input", ",".join(str(p) for p in paths),
+                   "--trajectory", str(tmp_path / "traj.txt"),
+                   "--map", str(tmp_path / "map.txt"),
+                   "--max-obs", "16"])
+    for i in range(2):
+        ts, fleet = read_trajectory(tmp_path / f"traj_s{i}.txt")
+        assert len(ts) == 6 and np.isfinite(fleet).all()
+        t1 = tmp_path / f"one{i}.txt"
+        run_slam.main(["--input", str(paths[i]),
+                       "--trajectory", str(t1),
+                       "--map", str(tmp_path / f"mone{i}.txt"),
+                       "--max-obs", "16"])
+        _, single = read_trajectory(t1)
+        # f32 fusion order differs slightly under vmap: ~1e-5 m noise
+        np.testing.assert_allclose(fleet, single, atol=1e-4)
+        ids_f, pos_f, _ = load_map(tmp_path / f"map_s{i}.txt")
+        ids_s, pos_s, _ = load_map(tmp_path / f"mone{i}.txt")
+        np.testing.assert_array_equal(ids_f, ids_s)
+        np.testing.assert_allclose(pos_f, pos_s, atol=2e-3)
 
 
 def test_run_slam_video_input(tmp_path):
