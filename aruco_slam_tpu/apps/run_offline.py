@@ -26,9 +26,12 @@ product surface of parallel/dist.py + parallel/sharded_ba.py):
     python -m aruco_slam_tpu.apps.run_offline \
         --input a.npz,b.npz,c.npz,d.npz --fleet 4x2
 
-Every process ingests the full observation stream (pass 1 is cheap and
-deterministic — the standard SPMD prologue); only the batch LM solve is
-sharded, and only process 0 touches the filesystem.
+Pass 1 scales with processes too: image-domain inputs shard the heavy
+per-frame candidate pipeline round-robin over processes (the cheap
+sequential id->slot scan + PnP replicate bit-identically —
+run_slam._observations_from_frames_sharded), and --fleet shards the
+per-sequence window-solve ingest with a graph-state all-gather. Only
+process 0 touches the filesystem.
 """
 
 from __future__ import annotations
@@ -234,8 +237,25 @@ def _run_fleet(args, cfg: SlamAppConfig, inputs: list[str],
                   "pixel-noise scaling")
             break
     t0 = time.perf_counter()
-    states = [_ingest(gcfg, cfg, o[1], o[3], o[2], args.ba_rotations)
-              for _, o in seqs]
+    nproc = jax.process_count()
+    if 1 < nproc <= len(seqs):
+        # shard the per-sequence ingest round-robin over processes and
+        # all-gather the graph states: pass 1 scales with processes
+        # instead of replicating every sequence's ingest everywhere
+        from jax.experimental import multihost_utils
+        pid = jax.process_index()
+        own = [_ingest(gcfg, cfg, o[1], o[3], o[2], args.ba_rotations)
+               for i, (_, o) in enumerate(seqs) if i % nproc == pid]
+        mmax = -(-len(seqs) // nproc)
+        local = stack_graphs(own + [own[0]] * (mmax - len(own)))
+        g = multihost_utils.process_allgather(local)  # (P, mmax, ...)
+        states = [jax.tree.map(lambda a, i=i: a[i % nproc, i // nproc],
+                               g)
+                  for i in range(len(seqs))]
+    else:
+        states = [_ingest(gcfg, cfg, o[1], o[3], o[2],
+                          args.ba_rotations)
+                  for _, o in seqs]
     fleet = stack_graphs(states)
     mesh = make_mesh2d(n_data=n_data, n_kf=n_kf)
     out, costs = sharded_fleet_optimize(gcfg, fleet, mesh,
@@ -380,14 +400,20 @@ def main(argv=None) -> None:
     if args.fleet:
         return _run_fleet(args, cfg, inputs, is_main)
 
+    # under a multi-process runtime, shard the image-domain candidate
+    # pipeline round-robin over processes (the sequential slot scan +
+    # PnP replicate; observations come out bit-identical) — the whole
+    # ingest scales, not just the LM solve
+    shard = ((jax.process_index(), jax.process_count())
+             if args.distributed and jax.process_count() > 1 else None)
     if is_video(cfg.input):
         src = None
         times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = \
-            load_video_observations(cfg, args.calib)
+            load_video_observations(cfg, args.calib, shard=shard)
     else:
         src = NpzSource(cfg.input)
         times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = \
-            load_observations(src, cfg)
+            load_observations(src, cfg, shard=shard)
 
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],

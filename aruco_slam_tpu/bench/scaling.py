@@ -206,6 +206,132 @@ def run_fleet(n_data, n_kf, frames, markers, iters, reps):
     return row
 
 
+def _build_image_bundle(frames):
+    """Deterministic small image sequence every ingest process can
+    rebuild identically (no filesystem coordination needed)."""
+    import numpy as np
+
+    from aruco_slam_tpu.apps import make_synthetic
+    k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
+                  [0.0, 0.0, 1.0]])
+    return make_synthetic.build(
+        frames=frames, markers=8, capacity=16, noise_px=0.2, seed=0,
+        camera_matrix=k, dist_coeffs=np.zeros(5), with_images=True,
+        image_size=(720, 405))
+
+
+def _ingest_once(bundle, shard, reps: int = 3):
+    """Timed pass of the image front end (detection + slot scan +
+    PnP). Returns the MIN of `reps` post-compile runs (the 2-core dev
+    host schedules noisily; min rejects cross-process interference)."""
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.apps.run_slam import (
+        _observations_from_frames, _observations_from_frames_sharded)
+    from aruco_slam_tpu.config import SlamAppConfig
+    from aruco_slam_tpu.core import camera as cam_mod
+
+    cfg = SlamAppConfig(input="", capacity=16)
+    cfg.marker_size = float(bundle["marker_size"])
+    cam = cam_mod.CameraModel.from_matrix(
+        jnp.asarray(bundle["camera_matrix"]),
+        jnp.asarray(bundle["dist_coeffs"]))
+    imgs, times = bundle["images"], bundle["times"]
+
+    def go():
+        if shard:
+            return _observations_from_frames_sharded(
+                zip(times, imgs), cam, cfg, shard[0], shard[1],
+                total=len(imgs))
+        return _observations_from_frames(zip(times, imgs), cam, cfg)
+
+    go()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        go()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_ingest_worker(frames, local_devices):
+    """One process of the sharded-ingest measurement. Pinned to one
+    host core (os.sched_setaffinity) so N processes use N cores — on
+    this shared-core dev host that is the honest analog of N hosts."""
+    import os
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from aruco_slam_tpu.parallel import dist
+    dist.initialize(local_devices=local_devices)
+    pid, nproc = jax.process_index(), jax.process_count()
+    want = int(os.environ.get("SLAM_NUM_PROCESSES", "1"))
+    assert nproc == want, \
+        f"worker joined {nproc} processes, expected {want}"
+    try:
+        os.sched_setaffinity(0, {pid % os.cpu_count()})
+    except (AttributeError, OSError):
+        pass
+    bundle = _build_image_bundle(frames)
+    dt = _ingest_once(bundle, (pid, nproc))
+    if pid == 0:
+        print(json.dumps({"ingest_seconds": round(dt, 4),
+                          "processes": nproc, "frames": frames}),
+              flush=True)
+
+
+def run_ingest(nproc, frames, local_devices, port=29781):
+    """Ingest-throughput scaling row (VERDICT r3 #5): the image-domain
+    front end (full per-frame candidate detection) sharded over N
+    processes vs 1, same core budget per process. Detection is
+    per-frame independent, so wall time should drop ~linearly.
+
+    Every measurement (including the 1-process baseline) runs in a
+    FRESH worker subprocess and the launcher never initializes JAX: a
+    co-resident idle XLA:CPU runtime measurably halves the workers'
+    throughput on this shared-core host."""
+    import os
+    import subprocess
+    import sys
+
+    env_base = {k: v for k, v in os.environ.items()
+                if k != "XLA_FLAGS"}
+
+    def launch(n, portoff):
+        procs = []
+        for pid in range(n):
+            env = dict(env_base)
+            if n > 1:
+                env.update(SLAM_COORDINATOR=f"127.0.0.1:{port+portoff}",
+                           SLAM_NUM_PROCESSES=str(n),
+                           SLAM_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "aruco_slam_tpu.bench.scaling",
+                 "--ingest-worker", "--frames", str(frames),
+                 "--local-devices", str(local_devices)],
+                env=env, stdout=subprocess.PIPE, text=True))
+        outs = [p.communicate()[0] for p in procs]
+        if any(p.returncode for p in procs):
+            raise SystemExit("ingest workers failed")
+        return next(json.loads(ln) for ln in outs[0].splitlines()
+                    if ln.startswith("{"))["ingest_seconds"]
+
+    base = launch(1, 0)
+    sharded = launch(nproc, 1)
+    row = {"metric": "sharded_ingest_scaling",
+           "frames": frames,
+           "ingest_1proc_s": round(base, 4),
+           f"ingest_{nproc}proc_s": round(sharded, 4),
+           "speedup": round(base / sharded, 3) if sharded else 0.0,
+           "efficiency": round(base / (sharded * nproc), 3)
+           if sharded else 0.0,
+           "note": "each process pinned to one host core: N "
+                   "processes = N cores, the honest single-machine "
+                   "analog of N hosts"}
+    print(json.dumps(row))
+    return row
+
+
 def run_multiprocess(nproc, frames, markers, iters, reps,
                      local_devices=2, port=29777):
     import os
@@ -249,7 +375,21 @@ def main(argv=None) -> None:
                         "sharded over 2 devices")
     p.add_argument("--worker", action="store_true",
                    help=argparse.SUPPRESS)
+    p.add_argument("--ingest", type=int, default=0, metavar="N",
+                   help="measure the sharded IMAGE-INGEST front end "
+                        "(detection round-robin over N processes) "
+                        "against the 1-process baseline at the same "
+                        "per-process core budget")
+    p.add_argument("--ingest-worker", action="store_true",
+                   help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+    if args.ingest_worker:
+        run_ingest_worker(args.frames, args.local_devices)
+        return
+    if args.ingest:
+        run_ingest(args.ingest, min(args.frames, 64),
+                   args.local_devices)
+        return
     if args.worker:
         run_worker(args.frames, args.markers, args.iters, args.reps,
                    args.local_devices)

@@ -40,7 +40,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aruco_slam_tpu.core.camera import bilinear_sample as _bilinear
 from aruco_slam_tpu.ops import dictionary as dict_mod
 
 
@@ -326,8 +325,17 @@ def _quad_corners_compact(xf: jnp.ndarray, yf: jnp.ndarray,
     return jnp.take_along_axis(quad, order[..., None], axis=1)
 
 
+def _pallas_mode(cfg: DetectorConfig) -> str:
+    """Resolve cfg.pallas to a kernel mode: "off" | "tpu" |
+    "interpret" (CPU testing)."""
+    on_tpu = jax.default_backend() == "tpu"
+    use = on_tpu if cfg.pallas is None else cfg.pallas
+    return "off" if not use else ("tpu" if on_tpu else "interpret")
+
+
 def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
-                   schedule: tuple[tuple[int, int], ...]) -> jnp.ndarray:
+                   schedule: tuple[tuple[int, int], ...],
+                   pallas_mode: str = "off") -> jnp.ndarray:
     """Gradient structure-tensor subpixel refinement (cornerSubPix
     math), batched over corners (N, 2) on the full-res image.
 
@@ -365,6 +373,30 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
     patches = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
         img, (y - rad, x - rad), (p, p)))(cy0, cx0)
 
+    # starting offset of the true corner estimate from the patch
+    # center, and the per-stage drift clamps (window must stay inside
+    # the patch) — shared by both backends
+    c = jnp.stack([corners[:, 0] - cx0, corners[:, 1] - cy0], -1)
+    c = jnp.clip(c, -(rad - 1), rad - 1)
+    drift = 0
+    sched = []
+    for half, iters in schedule:
+        sigma2 = (half / 1.5) ** 2
+        drift = min(drift + half, rad - half - 1)
+        sched.append((half, iters, sigma2, drift))
+
+    if pallas_mode != "off":
+        # VMEM-resident iterations: the XLA loop re-reads the patch
+        # gradient planes from HBM every iteration (~60 MB/frame at
+        # robust candidate counts — measured 0.76 ms/frame, pure
+        # bandwidth); the kernel touches HBM once per patch
+        from aruco_slam_tpu.ops import pallas_subpix
+        ref = pallas_subpix.refine_offsets(
+            patches, c, tuple(sched),
+            interpret=(pallas_mode == "interpret"))
+        return (ref.astype(img.dtype)
+                + jnp.stack([cx0, cy0], -1).astype(img.dtype))
+
     # dense gradients on the patch interior: (N, P-2, P-2)
     gx = 0.5 * (patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2])
     gy = 0.5 * (patches[:, 2:, 1:-1] - patches[:, :-2, 1:-1])
@@ -376,15 +408,7 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
           - (q - 1) / 2.0)[None]
     proj = gx * px + gy * py
 
-    # starting offset of the true corner estimate from the patch center
-    c = jnp.stack([corners[:, 0] - cx0, corners[:, 1] - cy0], -1)
-    c = jnp.clip(c, -(rad - 1), rad - 1)
-
-    drift = 0
-    for half, iters in schedule:
-        sigma2 = (half / 1.5) ** 2
-        drift = min(drift + half, rad - half - 1)
-
+    for half, iters, sigma2, drift in sched:
         def body(_, c, half=half, sigma2=sigma2, drift=drift):
             # gaussian window centered at the current integer estimate
             # (matches the slice-based recentering of cv2.cornerSubPix)
@@ -449,7 +473,15 @@ def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Homography-sample the (cells x cells) grid of every quad and
     threshold to bits. quads: (K, 4, 2) clockwise pixel corners.
-    Returns (bits (K, cells, cells) bool, border_white (K,) count)."""
+    Returns (bits (K, cells, cells) bool, border_white (K,) count).
+
+    Cell centers sample NEAREST-pixel: decode only thresholds the
+    sample against the marker's own (min+max)/2, and the center of a
+    payload cell is >= a cell-radius away from any edge, so the
+    sub-pixel interpolation bilinear adds is noise-averaging at best —
+    while costing 4 scattered image gathers per point instead of 1
+    (measured 0.32 ms/frame of the robust detector's 2.84: the whole
+    decode stage was gather-bound)."""
     k = quads.shape[0]
     hmat = _homography_cells(quads, cells)         # (K, 3, 3)
     ci = (jnp.arange(cells, dtype=jnp.float32) + 0.5)
@@ -459,8 +491,10 @@ def _sample_cells(img: jnp.ndarray, quads: jnp.ndarray, cells: int
     proj = jnp.einsum("kab,nb->kna", hmat, grid)
     px = proj[..., 0] / proj[..., 2]
     py = proj[..., 1] / proj[..., 2]
-    samples = jax.vmap(lambda x, y: _bilinear(img, x, y))(px, py)
-    samples = samples.reshape(k, cells, cells)
+    h, w = img.shape
+    xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+    samples = img[yi, xi].reshape(k, cells, cells)
 
     smin = samples.min(axis=(1, 2), keepdims=True)
     smax = samples.max(axis=(1, 2), keepdims=True)
@@ -524,10 +558,7 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
     # small window keeps apart — on cluttered scenes a marker adjacent
     # to a dark shape survives the small window / fine downscale but
     # fuses into a non-quad blob in the union.
-    on_tpu = jax.default_backend() == "tpu"
-    use_pallas = on_tpu if cfg.pallas is None else cfg.pallas
-    pallas_mode = ("off" if not use_pallas
-                   else ("tpu" if on_tpu else "interpret"))
+    pallas_mode = _pallas_mode(cfg)
     if cfg.passes:
         passes = cfg.passes
     else:  # auto sweep honoring the thresh_win/downscale knobs
@@ -750,7 +781,8 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
             img, flat_c, ((cfg.subpix_win, 0), (3, 0)))
     refined = _subpix_refine(
         img, flat_c,
-        ((cfg.subpix_win, cfg.subpix_iters), (3, 4))).reshape(k, 4, 2)
+        ((cfg.subpix_win, cfg.subpix_iters), (3, 4)),
+        pallas_mode=pallas_mode).reshape(k, 4, 2)
     if stop == "subpix":
         return refined, top_score, cand_ok
     if stop == "homog":
@@ -1016,8 +1048,28 @@ def detect_markers_batch_lru(images: jnp.ndarray, cfg: DetectorConfig,
     FrameObservations.reset so the filter re-initializes them —
     table_ids, last_seen, dropped (T,) per-frame saturated-id counts).
     """
-    canon, cand_ids, decoded, top_score = jax.vmap(
-        lambda im: _detect_candidates(im, cfg))(images)
+    return assign_sequence_lru(
+        cfg, table_ids, last_seen, frame0,
+        *detect_candidates_batch(images, cfg))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_candidates_batch(images: jnp.ndarray, cfg: DetectorConfig):
+    """The vmapped candidate pipeline (steps 1-6) over a (T, H, W)
+    chunk — the shardable heavy half of mapped detection (module-level
+    jit so repeated driver calls hit one compile cache). Returns
+    (canon, cand_ids, decoded, top_score) with leading T."""
+    return jax.vmap(lambda im: _detect_candidates(im, cfg))(images)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def assign_sequence_lru(cfg: DetectorConfig, table_ids, last_seen,
+                        frame0, canon, cand_ids, decoded, top_score):
+    """The sequential half of `detect_markers_batch_lru`: scan LRU
+    slot assignment over a (T, ...) candidate sequence. Split out so
+    a DISTRIBUTED front end can shard the heavy per-frame candidate
+    pipeline across processes and replicate only this cheap
+    deterministic scan (apps/run_offline --distributed ingest)."""
 
     def step(cr, xs):
         tids, seen, i = cr
@@ -1100,6 +1152,8 @@ def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
     h, w = img.shape
     c = corners.shape[0]
 
+    pm = _pallas_mode(cfg)
+
     # Iterated median-consensus refinement. A single wide-window pull
     # per corner is not reliable: corners whose motion approaches the
     # window can stall at the drift clip or lock onto the WRONG
@@ -1114,14 +1168,16 @@ def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
     # change at video rate is ~a pixel, absorbed by the tight stages.
     def consensus(seed, schedule):
         pulled = _subpix_refine(
-            img, seed.reshape(-1, 2), schedule).reshape(c, 4, 2)
+            img, seed.reshape(-1, 2), schedule,
+            pallas_mode=pm).reshape(c, 4, 2)
         return seed + jnp.median(pulled - seed, axis=1, keepdims=True)
 
     quad = consensus(corners + velocity,
                      ((cfg.track_win, cfg.subpix_iters),))
     quad = consensus(quad, ((6, 4),))
     refined = _subpix_refine(
-        img, quad.reshape(-1, 2), ((3, 4), (2, 2))).reshape(c, 4, 2)
+        img, quad.reshape(-1, 2), ((3, 4), (2, 2)),
+        pallas_mode=pm).reshape(c, 4, 2)
     # The polish can hop to a payload-cell attractor a few px off
     # (whose capture basin starts ~1.5 px out — and which can still
     # survive decode, compounding frame over frame). The consensus

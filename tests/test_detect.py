@@ -253,6 +253,24 @@ class TestDegraded:
         assert miss <= 4, f"missed {miss} vs cv2 on clutter"
 
 
+def test_pallas_subpix_matches_xla(rendered):
+    """The VMEM-resident subpixel-refinement kernel must agree with
+    the XLA stage loop (same math, float-reassociation noise only)."""
+    cam, scene, traj, frames, corners, mask = rendered
+    img = jnp.asarray(frames[0]).astype(jnp.float32)
+    # seeds near true corners, perturbed like coarse-grid quad seeds
+    rng = np.random.default_rng(3)
+    seeds = corners[0][mask[0]].reshape(-1, 2) \
+        + rng.uniform(-3, 3, size=(int(mask[0].sum()) * 4, 2))
+    sched = ((6, 6), (3, 4))
+    a = detect._subpix_refine(img, jnp.asarray(seeds, jnp.float32),
+                              sched)
+    b = detect._subpix_refine(img, jnp.asarray(seeds, jnp.float32),
+                              sched, pallas_mode="interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-3)
+
+
 def test_pallas_flood_matches_xla():
     """VMEM-resident flood kernel (interpret on CPU) == XLA stencil."""
     rng = np.random.default_rng(3)

@@ -178,6 +178,41 @@ def test_offline_multiprocess_cli(seq_files, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_offline_multiprocess_image_ingest(tmp_path, monkeypatch):
+    """Sharded IMAGE ingest under --processes 2 (VERDICT r3 #5): the
+    per-frame candidate pipeline runs round-robin across the two
+    processes (each detects only its own chunks), the slot scan + PnP
+    replicate, and the final trajectory matches the single-process
+    run of the same image sequence."""
+    from aruco_slam_tpu.apps import make_synthetic, run_offline
+    from aruco_slam_tpu.io import read_trajectory, sources
+    k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
+                  [0.0, 0.0, 1.0]])
+    bundle = make_synthetic.build(
+        frames=10, markers=6, capacity=16, noise_px=0.2, seed=0,
+        camera_matrix=k, dist_coeffs=np.zeros(5), with_images=True,
+        image_size=(720, 405))
+    seq = tmp_path / "img.npz"
+    sources.save_npz(seq, **bundle)
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    t_multi = tmp_path / "multi.txt"
+    run_offline.main(["--input", str(seq), "--f64", "--iters", "10",
+                      "--processes", "2", "--local-devices", "2",
+                      "--platform", "cpu",
+                      "--coordinator", "127.0.0.1:29795",
+                      "--trajectory", str(t_multi),
+                      "--map", str(tmp_path / "map_m.txt")])
+    t_single = tmp_path / "single.txt"
+    run_offline.main(["--input", str(seq), "--f64", "--iters", "10",
+                      "--trajectory", str(t_single),
+                      "--map", str(tmp_path / "map_s.txt")])
+    _, multi = read_trajectory(t_multi)
+    _, single = read_trajectory(t_single)
+    assert multi.shape == (10, 7)
+    np.testing.assert_allclose(multi, single, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_multiprocess_sharded_ba(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     testdir = os.path.join(repo, "tests")
