@@ -617,7 +617,9 @@ def run_multi_stream(cfg: SlamAppConfig, inputs: list[str], args,
     ke = cfg.track_every
 
     if ke:
-        step = detect.streaming_step(dcfg, ke, streams=s, mapped=True)
+        step = detect.streaming_step(
+            dcfg, ke, streams=s, mapped=True,
+            rescue_cohorts=cfg.rescue_cohorts)
 
         @jax.jit
         def detect_chunk(carry, ims_ts):  # ims (T, S, H, W) time-major
@@ -774,6 +776,15 @@ def main(argv=None) -> None:
                         "full sweep on 2 of every K frames, decode-"
                         "validated corner tracking in between (K >= 3;"
                         " 0 = full detection every frame)")
+    p.add_argument("--rescue-cohorts", type=int, default=0,
+                   metavar="G",
+                   help="multi-stream serving with --track-every: "
+                        "split the fleet into G schedule cohorts "
+                        "(staggered K/G apart); a stream that loses "
+                        "every marker triggers an immediate full "
+                        "sweep of its own cohort instead of waiting "
+                        "out the period. G must divide the stream "
+                        "count; 0 = one shared schedule")
     p.add_argument("--slot-max-age", type=int, default=dflt.slot_max_age,
                    metavar="N",
                    help="recycle id->slot table slots whose marker "
@@ -867,7 +878,8 @@ def main(argv=None) -> None:
         track_every=args.track_every,
         detector=args.detector,
         capacity=args.capacity,
-        slot_max_age=args.slot_max_age)
+        slot_max_age=args.slot_max_age,
+        rescue_cohorts=args.rescue_cohorts)
     if args.track_every and args.track_every < 3:
         p.error("--track-every needs K >= 3 (2 full frames bootstrap "
                 "the velocity prior)")

@@ -26,6 +26,10 @@ def main(argv=None) -> None:
     p.add_argument("--detector", default="robust",
                    choices=["robust", "fast"])
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--stages", default=None,
+                   help="comma-separated subset of stage stops to "
+                        "profile (default: all); 'none' = full "
+                        "detector only")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -104,6 +108,11 @@ def main(argv=None) -> None:
     # detector; each prefix timed alone, so stage cost = successive
     # difference) --
     stages = detect.candidate_stage_names()
+    if args.stages == "none":
+        stages = ()
+    elif args.stages:
+        want = set(args.stages.split(","))
+        stages = tuple(s_ for s_ in stages if s_ in want)
     prev = 0.0
     rows = {}
     for s in stages:

@@ -49,6 +49,14 @@ def main(argv=None) -> None:
                         "(full pixels->pose pipeline vmapped over the "
                         "stream axis; BASELINE config 5 shape). "
                         "Reports aggregate and per-stream fps")
+    p.add_argument("--rescue-cohorts", type=int, default=0,
+                   metavar="G",
+                   help="fleet streaming only: split the --streams "
+                        "fleet into G schedule cohorts (staggered "
+                        "K/G apart) so a stream that loses every "
+                        "marker triggers an immediate full sweep of "
+                        "its own cohort instead of waiting out the "
+                        "period (ops/detect.streaming_step)")
     p.add_argument("--degrade", default=None,
                    choices=["blur", "noise", "combined"],
                    help="degrade the rendered frames host-side "
@@ -149,7 +157,8 @@ def main(argv=None) -> None:
             return jax.vmap(e2e)(images, states)
         ns_ = images.shape[0]
         _, (cs, ms) = jax.lax.scan(
-            detect.streaming_step(dcfg, ke, streams=ns_),
+            detect.streaming_step(dcfg, ke, streams=ns_,
+                                  rescue_cohorts=args.rescue_cohorts),
             detect.streaming_init(dcfg, streams=ns_),
             jnp.swapaxes(images, 0, 1))
         return jax.vmap(pnp_mekf_tail)(jnp.swapaxes(cs, 0, 1),
@@ -270,6 +279,8 @@ def main(argv=None) -> None:
         row["stage_split"] = "single_stream"
     if ke:
         row["track_every"] = ke
+    if args.rescue_cohorts:
+        row["rescue_cohorts"] = args.rescue_cohorts
     # observation quality rides along: tracked-mode drops show up as a
     # lower per-frame detection count than a full-sweep run on the
     # same --video-rate trajectory

@@ -29,6 +29,11 @@ class SlamAppConfig:
     # distinct markers keep mapping (ops/detect.assign_slots_lru);
     # 0 = slots permanent (saturation still counted + warned)
     slot_max_age: int = 0
+    # fleet streaming (multi-stream serving): split the fleet into G
+    # schedule cohorts so a dead stream triggers an immediate full
+    # sweep of its own cohort (ops/detect.streaming_step);
+    # 0 = one shared schedule, no per-stream rescue
+    rescue_cohorts: int = 0
     # marker dictionary for image-domain inputs (reference
     # base_filter.py:82 hardcodes DICT_5X5_50; calibration uses
     # AprilTag 36h11) — ops/dictionary.py names

@@ -333,6 +333,26 @@ def _pallas_mode(cfg: DetectorConfig) -> str:
     return "off" if not use else ("tpu" if on_tpu else "interpret")
 
 
+def _gather_patches(img: jnp.ndarray, corners: jnp.ndarray, rad: int):
+    """One (N, P, P) f32 patch gather centered at the rounded corners.
+    vmapped dynamic_slice lowers to a gather of contiguous (P, P)
+    windows (row-sized reads) instead of P² single-element lookups —
+    ~4x faster than advanced indexing on TPU at detector counts. The
+    gather reads the image in its NARROWEST dtype (uint8 frames stay
+    uint8 — 4x fewer scattered bytes than gathering the f32 copy;
+    conversion afterwards on the small patch stack is exact).
+    Returns (patches, cx0, cy0)."""
+    h, w = img.shape
+    p = 2 * rad + 1
+    cx0 = jnp.clip(jnp.round(corners[:, 0]).astype(jnp.int32),
+                   rad, w - rad - 1)
+    cy0 = jnp.clip(jnp.round(corners[:, 1]).astype(jnp.int32),
+                   rad, h - rad - 1)
+    patches = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+        img, (y - rad, x - rad), (p, p)))(cy0, cx0)
+    return patches.astype(jnp.float32), cx0, cy0
+
+
 def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
                    schedule: tuple[tuple[int, int], ...],
                    pallas_mode: str = "off") -> jnp.ndarray:
@@ -351,7 +371,6 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
     slices cost a serialized gather per corner per round on TPU; this
     form does one gather for the whole coarse-to-fine refinement
     (~10x cheaper at detector candidate counts)."""
-    h, w = img.shape
     # patch radius: every stage's window (plus 1px gradient border)
     # must stay inside the patch after all preceding stages' drift
     # (each stage may move the estimate by up to its own half-window)
@@ -360,18 +379,7 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
     for half, _ in schedule:
         cum += half  # max drift this stage adds
         rad = max(rad, cum + half + 1)
-    p = 2 * rad + 1
-
-    # one gather: (N, P, P) patches centered at the rounded corners.
-    # vmapped dynamic_slice lowers to a gather of contiguous (P, P)
-    # windows (row-sized reads) instead of P² single-element lookups —
-    # ~4x faster than advanced indexing on TPU at detector counts.
-    cx0 = jnp.clip(jnp.round(corners[:, 0]).astype(jnp.int32),
-                   rad, w - rad - 1)
-    cy0 = jnp.clip(jnp.round(corners[:, 1]).astype(jnp.int32),
-                   rad, h - rad - 1)
-    patches = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-        img, (y - rad, x - rad), (p, p)))(cy0, cx0)
+    patches, cx0, cy0 = _gather_patches(img, corners, rad)
 
     # starting offset of the true corner estimate from the patch
     # center, and the per-stage drift clamps (window must stay inside
@@ -394,13 +402,13 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
         ref = pallas_subpix.refine_offsets(
             patches, c, tuple(sched),
             interpret=(pallas_mode == "interpret"))
-        return (ref.astype(img.dtype)
-                + jnp.stack([cx0, cy0], -1).astype(img.dtype))
+        return (ref.astype(jnp.float32)
+                + jnp.stack([cx0, cy0], -1).astype(jnp.float32))
 
     # dense gradients on the patch interior: (N, P-2, P-2)
     gx = 0.5 * (patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2])
     gy = 0.5 * (patches[:, 2:, 1:-1] - patches[:, :-2, 1:-1])
-    q = p - 2
+    q = 2 * rad - 1
     # interior pixel coords relative to the patch center
     px = (jax.lax.broadcasted_iota(jnp.float32, (q, q), 1)
           - (q - 1) / 2.0)[None]
@@ -415,7 +423,7 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
             wx = jnp.round(c[:, 0])[:, None, None]
             wy = jnp.round(c[:, 1])[:, None, None]
             inside = ((jnp.abs(px - wx) <= half)
-                      & (jnp.abs(py - wy) <= half)).astype(img.dtype)
+                      & (jnp.abs(py - wy) <= half)).astype(jnp.float32)
             wgt = inside * jnp.exp(
                 -0.5 * ((px - wx) ** 2 + (py - wy) ** 2) / sigma2)
             wgx = wgt * gx
@@ -436,7 +444,7 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
                               jnp.clip(ny, -drift, drift)], -1)
 
         c = jax.lax.fori_loop(0, iters, body, c)
-    return c + jnp.stack([cx0, cy0], -1).astype(img.dtype)
+    return c + jnp.stack([cx0, cy0], -1).astype(jnp.float32)
 
 
 def _homography_cells(corners: jnp.ndarray, cells: int) -> jnp.ndarray:
@@ -575,28 +583,40 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
     pools: dict[int, tuple] = {}
     per_pass = []
     raw_pools = []
-    for wf, ds in passes:
-        if ds not in pools:
-            hl, wl = h // ds, w // ds
+    # pools finest-first: a coarser grid is an exact (f, f) pool of a
+    # finer one (floor-division nests), so only the FINEST downscale
+    # ever reads the 2-MP image — the ds=4 pools derive from the ds=2
+    # pools at 1/4 the input size. reduce_window keeps the natural
+    # (8, 128) tiling (the reshape-to-(hl, ds, wl, ds) form relayouts
+    # the image: measured 0.79 vs 0.29 ms/frame for this stage).
+    for ds in sorted({d for _, d in passes}):
+        hl, wl = h // ds, w // ds
+        src = next((d2 for d2 in sorted(pools, reverse=True)
+                    if ds % d2 == 0), None)
+        if src:
+            f = ds // src
+            small_min = jax.lax.reduce_window(
+                pools[src][2], jnp.inf, jax.lax.min, (f, f), (f, f),
+                "VALID")
+            small_avg = jax.lax.reduce_window(
+                pools[src][3], 0.0, jax.lax.add, (f, f), (f, f),
+                "VALID") * (1.0 / (f * f))
+        else:
             crop = img[: hl * ds, : wl * ds]
-            # reduce_window pools keep the natural (8, 128) tiling; the
-            # reshape-to-(hl, ds, wl, ds) form forces a relayout of the
-            # 2-MP image before every reduction (measured 2x slower for
-            # the whole fused detector, despite winning in isolation)
             small_min = jax.lax.reduce_window(
                 crop, jnp.inf, jax.lax.min, (ds, ds), (ds, ds),
                 "VALID")
             small_avg = jax.lax.reduce_window(
-                crop, 0.0, jax.lax.add, (ds, ds), (ds, ds), "VALID") \
-                * (1.0 / (ds * ds))
-            raw_pools.append((small_min, small_avg))
-            if stop == "rawpools":
-                continue
-            # one shared integral image serves every window at this
-            # downscale (the two coarse passes differ only in window)
-            means = dict(zip(win_by_ds[ds], _box_mean_multi(
+                crop, 0.0, jax.lax.add, (ds, ds), (ds, ds),
+                "VALID") * (1.0 / (ds * ds))
+        raw_pools.append((small_min, small_avg))
+        # one shared integral image serves every window at this
+        # downscale (the two coarse passes differ only in window)
+        means = None if stop == "rawpools" else dict(
+            zip(win_by_ds[ds], _box_mean_multi(
                 small_avg, tuple(win_by_ds[ds]))))
-            pools[ds] = (hl, wl, small_min, small_avg, means)
+        pools[ds] = (hl, wl, small_min, small_avg, means)
+    for wf, ds in passes:
         if stop in ("pools", "rawpools"):
             continue
         hl, wl, small_min, small_avg, means = pools[ds]
@@ -776,11 +796,11 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
     # the low-res (±downscale px) estimate into the basin, then a tight
     # window sharpens without dragging in the marker's interior edges.
     flat_c = quads_full.reshape(-1, 2)
-    if stop == "subpix_gather":  # patch gather alone (0 iterations)
-        return _subpix_refine(
-            img, flat_c, ((cfg.subpix_win, 0), (3, 0)))
+    if stop == "subpix_gather":  # patch gather alone, kept live (a
+        # 0-iteration schedule lets XLA DCE the gather entirely)
+        return _gather_patches(image, flat_c, 13)[0].sum(axis=(1, 2))
     refined = _subpix_refine(
-        img, flat_c,
+        image, flat_c,
         ((cfg.subpix_win, cfg.subpix_iters), (3, 4)),
         pallas_mode=pallas_mode).reshape(k, 4, 2)
     if stop == "subpix":
@@ -1168,7 +1188,7 @@ def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
     # change at video rate is ~a pixel, absorbed by the tight stages.
     def consensus(seed, schedule):
         pulled = _subpix_refine(
-            img, seed.reshape(-1, 2), schedule,
+            image, seed.reshape(-1, 2), schedule,
             pallas_mode=pm).reshape(c, 4, 2)
         return seed + jnp.median(pulled - seed, axis=1, keepdims=True)
 
@@ -1176,7 +1196,7 @@ def _track_core(image, corners, mask, velocity, cfg: DetectorConfig,
                      ((cfg.track_win, cfg.subpix_iters),))
     quad = consensus(quad, ((6, 4),))
     refined = _subpix_refine(
-        img, quad.reshape(-1, 2), ((3, 4), (2, 2)),
+        image, quad.reshape(-1, 2), ((3, 4), (2, 2)),
         pallas_mode=pm).reshape(c, 4, 2)
     # The polish can hop to a payload-cell attractor a few px off
     # (whose capture basin starts ~1.5 px out — and which can still
@@ -1360,7 +1380,8 @@ def streaming_init(cfg: DetectorConfig, streams: int | None = None,
 
 
 def streaming_step(cfg: DetectorConfig, track_every: int,
-                   streams: int | None = None, mapped: bool = False):
+                   streams: int | None = None, mapped: bool = False,
+                   rescue_cohorts: int = 0):
     """The ONE definition of the detect-every-K scan step, shared by
     the drivers and benches so the schedule cannot drift between them.
 
@@ -1375,10 +1396,25 @@ def streaming_step(cfg: DetectorConfig, track_every: int,
     / motion spike) instead of running out the period blind.
     streams=S (fleet, frames shaped (S, H, W)): the predicate must
     stay SCALAR so the full/track choice remains a real `lax.cond`
-    (see detect_or_track_batch) — no per-stream rescue; a dropped
-    stream waits for the next scheduled sweep.
+    (see detect_or_track_batch). With ``rescue_cohorts=0`` there is
+    therefore no per-stream rescue — a dropped stream waits for the
+    next scheduled sweep. ``rescue_cohorts=G`` restores rescue by
+    SPLITTING the fleet into G cohorts of S/G streams: each cohort
+    keeps its own scalar predicate (schedule staggered by K/G frames,
+    which also smooths the fleet's per-frame cost), and a stream that
+    loses everything triggers an immediate full sweep of ITS COHORT
+    only — blast radius S/G streams, re-acquisition next frame
+    instead of end-of-period. G single-stream cohorts (G == S) give
+    exact single-stream rescue semantics at the cost of G compiled
+    branch pairs.
     """
     ke = track_every
+    if rescue_cohorts and streams:
+        if streams % rescue_cohorts:
+            raise ValueError(
+                f"rescue_cohorts={rescue_cohorts} must divide "
+                f"streams={streams}")
+        return _cohort_step(cfg, ke, streams, rescue_cohorts, mapped)
 
     def step(cr, im):
         if mapped:
@@ -1398,6 +1434,46 @@ def streaming_step(cfg: DetectorConfig, track_every: int,
                                       do_full | ~m.any(), cfg)
         else:
             c, m, v = detect_or_track_batch(im, c, m, v, do_full, cfg)
+        return (c, m, v, i + 1), (c, m)
+
+    return step
+
+
+def _cohort_step(cfg: DetectorConfig, ke: int, streams: int,
+                 cohorts: int, mapped: bool):
+    """Staggered-cohort fleet step (see streaming_step): one scalar
+    full/track predicate per cohort = real lax.cond per cohort, with
+    dead-stream rescue bounded to the cohort."""
+    per = streams // cohorts
+
+    def step(cr, im):
+        if mapped:
+            c, m, v, tids, i = cr
+        else:
+            c, m, v, i = cr
+        oc, om, ov, ot = [], [], [], []
+        for g in range(cohorts):
+            sl = slice(g * per, (g + 1) * per)
+            # cohort g's bootstrap frames, phase-shifted by g*ke/G
+            sched = ((i + (g * ke) // cohorts) % ke) < 2
+            dead = (~m[sl].any(axis=-1)).any()
+            pred = sched | dead
+            if mapped:
+                ck, mk, vk, tk = detect_or_track_batch_mapped(
+                    im[sl], c[sl], m[sl], v[sl], tids[sl], pred, cfg)
+                ot.append(tk)
+            else:
+                ck, mk, vk = detect_or_track_batch(
+                    im[sl], c[sl], m[sl], v[sl], pred, cfg)
+            oc.append(ck)
+            om.append(mk)
+            ov.append(vk)
+        c = jnp.concatenate(oc)
+        m = jnp.concatenate(om)
+        v = jnp.concatenate(ov)
+        if mapped:
+            tids = jnp.concatenate(ot)
+            return (c, m, v, tids, i + 1), (c, m)
         return (c, m, v, i + 1), (c, m)
 
     return step
@@ -1426,5 +1502,4 @@ def refine_corners(image: jnp.ndarray, corners: jnp.ndarray,
     ChArUco calibration path (ops/calibrate.py) the way the
     reference's CharucoDetector refines interpolated corners
     (reference calibration/charuco_calibration.py:59-61)."""
-    return _subpix_refine(image.astype(jnp.float32), corners,
-                          ((half, iters),))
+    return _subpix_refine(image, corners, ((half, iters),))

@@ -96,7 +96,7 @@ def main() -> None:
     batched_fps = BATCH * FRAMES / dtb
 
     flops = flops_of(batched_fn, state0, corners_b, mask_b)
-    print(json.dumps({
+    row = {
         "metric": "mekf_pipeline_fps_per_chip",
         "value": round(batched_fps, 1),
         "unit": "frames/s",
@@ -104,7 +104,86 @@ def main() -> None:
         "batch": BATCH,
         "single_stream_fps": round(single_fps, 1),
         **flops_metrics(flops, dtb),
-    }))
+    }
+    # image-domain numbers ride along so the driver-captured artifact
+    # tracks detector progress (VERDICT r3 #7: the MEKF headline never
+    # saw the robust-detector story). Timeboxed: a cold compile over
+    # the tunnel must not kill the whole bench row.
+    try:
+        row.update(_image_e2e_fields(cam, time_budget_s=1500))
+    except Exception as e:  # noqa: BLE001 - bench must still print
+        row["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
+    print(json.dumps(row))
+
+
+def _image_e2e_fields(cam, time_budget_s: int = 1500,
+                      frames: int = 16, chunk: int = 8) -> dict:
+    """Robust image->pose e2e fps (full 3-pass detector every frame)
+    on rendered 1080p frames — the detector-bound number the e2e
+    bench (bench/e2e.py) reports, in compact form."""
+    import signal
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.bench import synthetic
+    from aruco_slam_tpu.bench.render import render_sequence
+    from aruco_slam_tpu.filters import (
+        FrameObservations, MekfConfig, init_state, mekf_scan)
+    from aruco_slam_tpu.ops import detect, pnp
+
+    def timeout_handler(signum, frame):
+        raise TimeoutError(f"e2e fields exceeded {time_budget_s}s")
+
+    old = signal.signal(signal.SIGALRM, timeout_handler)
+    signal.alarm(time_budget_s)
+    try:
+        scene = synthetic.make_wall_scene(num_markers=10, seed=0)
+        traj = synthetic.make_orbit_trajectory(num_frames=frames)
+        cache = f"/tmp/bench_e2e_frames_{frames}.npz"
+        try:
+            imgs = np.load(cache)["frames"]
+        except (FileNotFoundError, KeyError):
+            imgs = np.asarray(render_sequence(
+                scene, traj, cam, image_size=(1920, 1080)))
+            np.savez(cache, frames=imgs)
+        images = jnp.asarray(imgs)
+        dcfg = detect.DetectorConfig(capacity=CAPACITY)  # robust
+        fcfg = MekfConfig(capacity=CAPACITY)
+        state0 = init_state(fcfg)
+        ms = scene.marker_size
+        t = frames
+        reps = 4
+
+        def e2e(ims, state):
+            det = jax.lax.map(
+                lambda x: detect.detect_markers_batch(x, dcfg),
+                ims.reshape(t // chunk, chunk, *ims.shape[1:]))
+            cs = det.corners.reshape(t, CAPACITY, 4, 2)
+            msk = det.mask.reshape(t, CAPACITY)
+            res = pnp.solve_square_pnp(cam, cs, ms)
+            obs = FrameObservations(res.t_cl, res.q_cl,
+                                    msk & (res.err < 3.0))
+            return mekf_scan(fcfg, state, obs)
+
+        @jax.jit
+        def timed(ims):
+            def body(i, acc):
+                _, tr = e2e(ims ^ (i % 2).astype(jnp.uint8), state0)
+                return acc + tr.sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        # tunnel discipline: warm on a DIFFERENT value, sync by FETCH
+        float(timed(images ^ jnp.uint8(2)))
+        t0 = time.perf_counter()
+        float(timed(images))
+        dt = (time.perf_counter() - t0) / reps
+        return {"robust_e2e_fps": round(t / dt, 1),
+                "robust_e2e_frames": t}
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 if __name__ == "__main__":

@@ -625,6 +625,46 @@ def test_tracking_lost_everything_reacquires(rendered):
     assert np.asarray(m2).any()
 
 
+def test_fleet_cohort_rescue(rendered):
+    """Staggered-cohort fleet rescue (VERDICT r3 #3): a stream that
+    loses every marker mid-period re-acquires at the NEXT frame via
+    its cohort's dead-stream sweep, instead of tracking blind until
+    the shared schedule's next full pass (which is what
+    rescue_cohorts=0 does — asserted as the contrast)."""
+    import jax
+    import jax.numpy as jnp_
+    cam, scene, traj, frames, corners, mask = rendered
+    ke, t = 8, 7
+    blank = np.full_like(frames[0], 178)  # background gray
+    # stream 0 healthy (static frame); stream 1 blanks at 2..3, back 4+
+    s0 = np.stack([frames[0]] * t)
+    s1 = s0.copy()
+    s1[2] = blank
+    s1[3] = blank
+    seq = jnp_.asarray(np.stack([s0, s1], axis=1),
+                       jnp_.float32)          # (T, S, H, W)
+
+    def run(cohorts):
+        step = detect.streaming_step(CFG, ke, streams=2,
+                                     rescue_cohorts=cohorts)
+        cr = detect.streaming_init(CFG, streams=2)
+        _, (cs, ms) = jax.lax.scan(step, cr, seq)
+        return np.asarray(ms)                # (T, S, C)
+
+    m = run(cohorts=2)
+    assert m[1, 1].any()                     # tracking before blank
+    assert not m[3, 1].any()                 # blank frames: all lost
+    assert m[4, 1].any(), "cohort rescue must re-acquire at frame 4"
+    assert m[4, 0].sum() >= m[1, 0].sum() - 1  # healthy stream intact
+
+    m0 = run(cohorts=0)
+    # shared scalar schedule: stream 1 stays blind until i=8 (> t-1)
+    assert not m0[4:, 1].any(), \
+        "without cohorts the fleet must (by design) wait for the " \
+        "next scheduled sweep — if this fires, update the cohort " \
+        "docs: per-stream rescue became free"
+
+
 def test_detect_or_track_batch_matches_single(rendered):
     """The fleet streaming step (scalar schedule, cond outside the
     stream vmap) must produce exactly what per-stream detect_or_track
