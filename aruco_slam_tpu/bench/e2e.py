@@ -215,47 +215,50 @@ def main(argv=None) -> None:
     dt = (time.perf_counter() - t0) / reps
     fps = ns * t / dt
 
-    # --- stage split: each stage timed as its own on-device program
-    # (utils/profiling.StageTimer blocks on results, so the numbers
-    # are real compute, not async dispatch artifacts) ---
-    from aruco_slam_tpu.utils.profiling import StageTimer
+    # --- stage split: each stage timed with the SAME on-device-loop
+    # + scalar-fetch discipline as the headline (single dispatches
+    # measure tunnel RTT / upload artifacts, not compute: the first
+    # cut reported 40 ms/frame for a detector whose fused rate is
+    # ~2.5 ms) ---
+    def loop_time(fn, warm_x, x, sreps):
+        @jax.jit
+        def loop(v):
+            def body(i, acc):
+                out = fn(v, i)
+                return acc + sum(jnp.sum(l.astype(jnp.float32))
+                                 for l in jax.tree.leaves(out))
+            return jax.lax.fori_loop(0, sreps, body, jnp.float32(0))
 
-    detect_only = jax.jit(detect_seq)
+        float(loop(warm_x))
+        t1 = time.perf_counter()
+        float(loop(x))
+        return (time.perf_counter() - t1) / sreps
 
-    @jax.jit
-    def pnp_only(corners):
-        return jax.lax.map(
-            lambda c: pnp.solve_square_pnp(cam, c, marker_size),
-            corners.reshape(t // ch, ch, capacity, 4, 2))
+    sreps = max(2, reps)
+    cs, ms = jax.jit(detect_seq)(images)
+    res0 = jax.jit(lambda c: pnp.solve_square_pnp(
+        cam, c, marker_size))(cs)
+    merge = lambda a: a
+    obs = FrameObservations(res0.t_cl, res0.q_cl,
+                            ms & (res0.err < 3.0))
+    dt_detect = loop_time(
+        lambda im, i: detect_seq(im ^ (i % 2).astype(jnp.uint8)),
+        images ^ jnp.uint8(2), images, sreps)
+    dt_pnp = loop_time(
+        lambda c, i: pnp.solve_square_pnp(
+            cam, c + (i % 2).astype(c.dtype) * 1e-4, marker_size),
+        cs + 1e-3, cs, sreps)
+    dt_mekf = loop_time(
+        lambda o, i: mekf_scan(fcfg, state0, o._replace(
+            t_cl=o.t_cl + (i % 2).astype(o.t_cl.dtype) * 1e-6)),
+        obs._replace(t_cl=obs.t_cl + 1e-3), obs, sreps)
 
-    def mekf_only(obs, state):
-        return mekf_scan(fcfg, state, obs)
+    class _Totals:
+        totals = {"detect": dt_detect, "pnp": dt_pnp, "mekf": dt_mekf}
 
-    # warm calls use PERTURBED inputs and each timed call is the FIRST
-    # with its real input: the tunnel executor memoizes identical
-    # (executable, args) calls, so warming on the timed input would
-    # turn every stage below into a cache hit
-    timer = StageTimer()
-    mekf_jit = jax.jit(mekf_only)
-    merge = lambda a: a.reshape(t, *a.shape[2:])
-
-    jax.block_until_ready(detect_only(images ^ jnp.uint8(2)))  # warm
-    with timer.stage("detect") as s:
-        s["result"] = detect_only(images)
-    cs, ms = s["result"]
-    jax.block_until_ready(pnp_only(cs + 1e-3))                 # warm
-    with timer.stage("pnp") as s:
-        s["result"] = pnp_only(cs)
-    res = s["result"]
-    obs = FrameObservations(
-        merge(res.t_cl), merge(res.q_cl),
-        ms & (merge(res.err) < 3.0))
-    jax.block_until_ready(mekf_jit(
-        obs._replace(t_cl=obs.t_cl + 1e-3), state0))           # warm
-    with timer.stage("mekf") as s:
-        s["result"] = mekf_jit(obs, state0)
-    for line in timer.report().splitlines():
-        print(f"# {line}")
+    timer = _Totals()
+    for name, secs in timer.totals.items():
+        print(f"# {name:8s} {1e3 * secs / t:8.3f} ms/frame")
 
     from aruco_slam_tpu.bench.pipeline import flops_metrics, flops_of
     flops = flops_of(lambda im, st: e2e(im, st)[1], images, state0)
