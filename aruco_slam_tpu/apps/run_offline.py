@@ -97,6 +97,59 @@ def _launch_processes(args, argv) -> None:
         raise SystemExit(f"distributed workers failed: exit codes {rc}")
 
 
+def _epoch_remap(t_cl, q_cl, mask, reset, ids_seq):
+    """Split recycled slots into per-epoch landmark columns.
+
+    The batch graph keys landmarks by COLUMN; LRU recycling
+    (--slot-max-age) makes one detector slot host several physical
+    markers over the run, so feeding slot columns straight into the
+    graph would merge two markers into one landmark and corrupt the
+    solve. Offline has the whole sequence up front, so the fix is a
+    host-side relayout: each (slot, epoch) pair — epoch = number of
+    resets of that slot up to the frame — gets its OWN column. The
+    MEKF handles the same situation online by re-initializing through
+    consistent augmentation instead (filters/mekf.py reset handling);
+    the reference never faces this because its landmark registration
+    is unbounded (reference filters/factor_graph.py:226-264).
+
+    Returns (t_cl, q_cl, mask, col_ids) with L = #observed
+    (slot, epoch) pairs columns; ``col_ids`` maps column -> true
+    marker id (from ``ids_seq``, the per-frame table snapshots —
+    the final table only remembers each slot's LAST tenant)."""
+    t, c = mask.shape
+    epoch = np.cumsum(np.asarray(reset, np.int64), axis=0)  # (T, C)
+    key = epoch * c + np.arange(c)[None, :]
+    used = np.unique(key[mask])
+    col = np.searchsorted(used, key)                        # (T, C)
+    l2 = len(used)
+    rows = np.broadcast_to(np.arange(t)[:, None], (t, c))
+    t_cl2 = np.zeros((t, l2) + t_cl.shape[2:], t_cl.dtype)
+    q_cl2 = np.zeros((t, l2) + q_cl.shape[2:], q_cl.dtype)
+    mask2 = np.zeros((t, l2), bool)
+    t_cl2[rows[mask], col[mask]] = t_cl[mask]
+    q_cl2[rows[mask], col[mask]] = q_cl[mask]
+    mask2[rows[mask], col[mask]] = True
+    col_ids = np.full(l2, -1, np.int64)
+    col_ids[col[mask]] = ids_seq[mask]
+    return t_cl2, q_cl2, mask2, col_ids
+
+
+def _resolve_recycling(obs):
+    """Normalize a loader 9-tuple: consume reset/ids_seq by epoch-
+    splitting recycled slots into fresh landmark columns (no-op when
+    nothing recycled). Returns the 7-tuple the solve consumes."""
+    times, t_cl, q_cl, mask, cam, amb, slot_ids, reset, ids_seq = obs
+    if reset is not None and np.asarray(reset).any():
+        n0 = t_cl.shape[1]
+        t_cl, q_cl, mask, slot_ids = _epoch_remap(
+            np.asarray(t_cl), np.asarray(q_cl), np.asarray(mask),
+            np.asarray(reset), np.asarray(ids_seq))
+        amb = None  # per-slot layout no longer matches; unused offline
+        print(f"slot recycling: split {n0} detector slots into "
+              f"{t_cl.shape[1]} per-epoch landmark columns")
+    return times, t_cl, q_cl, mask, cam, amb, slot_ids
+
+
 def _load_all(cfg: SlamAppConfig, inputs: list[str], calib):
     """Load every input sequence (npz bundles or video files)."""
     import dataclasses
@@ -109,7 +162,7 @@ def _load_all(cfg: SlamAppConfig, inputs: list[str], calib):
         else:
             src = NpzSource(path)
             obs = load_observations(src, c)
-        seqs.append((src, obs))
+        seqs.append((src, _resolve_recycling(obs)))
     return seqs
 
 
@@ -179,7 +232,8 @@ def _write_outputs(args, cfg, gcfg, state, times, t_cl, q_cl, mask,
         from aruco_slam_tpu.apps import sinks
         viewers = sinks.build_viewers(cfg, cam, src)
         sinks.replay(viewers, times, cam_traj, state.lm,
-                     state.lm_active, t_cl, q_cl, mask)
+                     state.lm_active, t_cl, q_cl, mask,
+                     slot_ids=slot_ids)
 
     active = np.asarray(state.lm_active)
     slots = np.where(active)[0]
@@ -267,7 +321,7 @@ def _run_fleet(args, cfg: SlamAppConfig, inputs: list[str],
     print(f"fleet solve: {len(seqs)} sequences on a {n_data}x{n_kf} "
           f"(data x kf) mesh, {cfg.batch_iters} LM iters in {dt:.2f}s")
     for i, (src, o) in enumerate(seqs):
-        times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = o
+        times, t_cl, q_cl, mask, cam, _amb, slot_ids = o
         seq_state = jax.tree.map(lambda x, i=i: x[i], out)
         _write_outputs(args, cfg, gcfg, seq_state, times, t_cl, q_cl,
                        mask, slot_ids, src, cam, seq_i=i,
@@ -317,6 +371,18 @@ def main(argv=None) -> None:
     p.add_argument("--detector", default=dflt.detector,
                    choices=["robust", "fast"],
                    help="full-sweep preset (see run_slam --detector)")
+    p.add_argument("--capacity", type=int, default=dflt.capacity,
+                   help="detector slot / landmark capacity for "
+                        "image-domain inputs (see run_slam "
+                        "--capacity)")
+    p.add_argument("--slot-max-age", type=int, default=dflt.slot_max_age,
+                   metavar="N",
+                   help="recycle detector slots unobserved for > N "
+                        "frames (see run_slam --slot-max-age); the "
+                        "offline solve epoch-splits recycled slots "
+                        "into fresh landmark columns, so long "
+                        "corridor runs can traverse more distinct "
+                        "markers than --capacity")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace of the "
                         "solve to DIR (view with XProf/TensorBoard)")
@@ -396,7 +462,9 @@ def main(argv=None) -> None:
                         viz_dir=args.viz_dir,
                         export_video=args.export_video,
                         track_every=args.track_every,
-                        detector=args.detector)
+                        detector=args.detector,
+                        capacity=args.capacity,
+                        slot_max_age=args.slot_max_age)
     if args.fleet:
         return _run_fleet(args, cfg, inputs, is_main)
 
@@ -408,12 +476,12 @@ def main(argv=None) -> None:
              if args.distributed and jax.process_count() > 1 else None)
     if is_video(cfg.input):
         src = None
-        times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = \
-            load_video_observations(cfg, args.calib, shard=shard)
+        obs = load_video_observations(cfg, args.calib, shard=shard)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam, _amb, slot_ids, _reset = \
-            load_observations(src, cfg, shard=shard)
+        obs = load_observations(src, cfg, shard=shard)
+    times, t_cl, q_cl, mask, cam, _amb, slot_ids = \
+        _resolve_recycling(obs)
 
     t = len(times)
     gcfg = GraphConfig(max_poses=t + 2, max_landmarks=t_cl.shape[1],

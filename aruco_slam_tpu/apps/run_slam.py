@@ -100,11 +100,12 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
         if ke:
             track_cr[0], (det_c, det_m) = tracked_chunk(track_cr[0], ims)
             reset = jnp.zeros(det_m.shape, bool)
+            ids_f = jnp.zeros(det_m.shape, jnp.int32)
             dropped = jnp.zeros(det_m.shape[0], jnp.int32)
         else:
             # LRU batch path even at slot_max_age=0: identical slot
             # assignments, but table saturation is COUNTED, not silent
-            det_c, det_m, reset, table[0], seen[0], dropped = \
+            det_c, det_m, reset, ids_f, table[0], seen[0], dropped = \
                 detect.detect_markers_batch_lru(
                     ims, dcfg, table[0], seen[0], fidx[0])
         fidx[0] += n
@@ -112,7 +113,8 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
         mask = det_m & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
         # device arrays, not np: keep the dispatch asynchronous
-        outs.append((res.t_cl, res.q_cl, mask, amb, reset, dropped, n))
+        outs.append((res.t_cl, res.q_cl, mask, amb, reset, ids_f,
+                     dropped, n))
         buf.clear()
 
     for ts, gray in frame_iter:
@@ -126,7 +128,7 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
     cat = lambda i: np.concatenate(
         [np.asarray(o[i])[:o[-1]] for o in outs])
     slot_ids = np.asarray(track_cr[0][3] if ke else table[0])
-    dropped_ids = int(sum(np.asarray(o[5])[:o[-1]].sum()
+    dropped_ids = int(sum(np.asarray(o[6])[:o[-1]].sum()
                           for o in outs))
     if dropped_ids:
         print(f"WARNING: {dropped_ids} marker sightings found NO free "
@@ -134,8 +136,9 @@ def _observations_from_frames(frame_iter, cam, cfg: SlamAppConfig,
               f"{dcfg.capacity}); raise --capacity or set "
               "--slot-max-age N to recycle stale slots")
     reset_seq = cat(4) if cfg.slot_max_age else None
+    ids_seq = cat(5) if cfg.slot_max_age else None
     return (np.asarray(times), cat(0), cat(1), cat(2), cam, cat(3),
-            slot_ids, reset_seq)
+            slot_ids, reset_seq, ids_seq)
 
 
 def _observations_from_frames_sharded(frame_iter, cam,
@@ -212,13 +215,13 @@ def _observations_from_frames_sharded(frame_iter, cam,
         for g in gathered]                       # (n_chunks*chunk, ...)
 
     tlen = len(times)
-    slot_c, slot_m, reset, table_ids, _seen, dropped = \
+    slot_c, slot_m, reset, ids_seq, table_ids, _seen, dropped = \
         detect.assign_sequence_lru(
             dcfg, detect.slot_table_init(dcfg.capacity),
             jnp.zeros(dcfg.capacity, jnp.int32), 0,
             *(jnp.asarray(a) for a in ordered))
-    slot_c, slot_m, reset = (slot_c[:tlen], slot_m[:tlen],
-                             reset[:tlen])
+    slot_c, slot_m, reset, ids_seq = (slot_c[:tlen], slot_m[:tlen],
+                                      reset[:tlen], ids_seq[:tlen])
     res = pnp.solve_square_pnp(cam, slot_c, cfg.marker_size)
     mask = slot_m & (res.err < cfg.max_reproj_px)
     amb = res.err / jnp.maximum(res.err2, 1e-9)
@@ -231,7 +234,8 @@ def _observations_from_frames_sharded(frame_iter, cam,
     return (np.asarray(times), np.asarray(res.t_cl),
             np.asarray(res.q_cl), np.asarray(mask), cam,
             np.asarray(amb), np.asarray(table_ids),
-            np.asarray(reset) if cfg.slot_max_age else None)
+            np.asarray(reset) if cfg.slot_max_age else None,
+            np.asarray(ids_seq) if cfg.slot_max_age else None)
 
 
 def load_camera(cfg: SlamAppConfig, calib_dir=None):
@@ -287,11 +291,13 @@ def load_video_observations(cfg: SlamAppConfig, calib_dir=None,
 
 def load_observations(src: NpzSource, cfg: SlamAppConfig, shard=None):
     """Return (times, t_cl (T,C,3), q_cl (T,C,4), mask (T,C), cam,
-    ambiguity, slot_ids, reset). ``slot_ids`` maps slot -> marker id
-    for image-domain inputs (the id->slot table); None for corner-/
-    pose-level bundles, whose slot index IS the marker id. ``reset``
-    (T, C) flags slots the LRU table recycled (forwarded to
-    FrameObservations.reset); None without --slot-max-age."""
+    ambiguity, slot_ids, reset, ids_seq). ``slot_ids`` maps slot ->
+    marker id for image-domain inputs (the id->slot table); None for
+    corner-/pose-level bundles, whose slot index IS the marker id.
+    ``reset`` (T, C) flags slots the LRU table recycled (forwarded to
+    FrameObservations.reset); ``ids_seq`` (T, C) is the id occupying
+    each slot at each frame (the offline epoch split needs ids the
+    recycling overwrote); both None without --slot-max-age."""
     k = src["camera_matrix"] if src.has("camera_matrix") \
         else cfg.camera_matrix
     d = src["dist_coeffs"] if src.has("dist_coeffs") else cfg.dist_coeffs
@@ -314,10 +320,11 @@ def load_observations(src: NpzSource, cfg: SlamAppConfig, shard=None):
             & (res.err < cfg.max_reproj_px)
         amb = res.err / jnp.maximum(res.err2, 1e-9)
         return (src.times, np.asarray(res.t_cl), np.asarray(res.q_cl),
-                np.asarray(mask), cam, np.asarray(amb), None, None)
+                np.asarray(mask), cam, np.asarray(amb), None, None,
+                None)
     if src.has("t_cl"):
         return (src.times, src["t_cl"], src["q_cl"], src["mask"], cam,
-                None, None, None)
+                None, None, None, None)
     raise ValueError(
         f"{src.path}: no 'images', 'corners', or 't_cl' observations")
 
@@ -431,7 +438,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                 None if seq.reset is None else seq.reset[i]))
             cam_traj[i] = np.asarray(mekf_mod.camera_pose(state))
             _feed_viewers(viewers, cam_traj[i], state.lm,
-                          state.active, t_cl[i], q_cl[i], mask[i])
+                          state.active, t_cl[i], q_cl[i], mask[i],
+                          slot_ids=slot_ids)
             if sinks.stop_requested(viewers):
                 # the live window's 'q': end the RUN, like the
                 # reference's loop break (reference main/run_slam.py:127-141)
@@ -452,7 +460,8 @@ def run_mekf(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
 
 def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
                     viewers=(), ckpt_every: int = 0, ckpt_path=None,
-                    resume=None, with_rotations: bool = False):
+                    resume=None, with_rotations: bool = False,
+                    slot_ids=None):
     t = len(times)
     budget = cfg.pose_budget
     if budget and budget < t + 2:
@@ -521,7 +530,8 @@ def run_factorgraph(cfg: SlamAppConfig, times, t_cl, q_cl, mask, cam,
             pose_i = np.concatenate([np.asarray(traj_parts[-1][0]),
                                      np.asarray(traj_parts[-1][1])])
             _feed_viewers(viewers, pose_i, state.lm,
-                          state.lm_active, t_cl[i], q_cl[i], mask[i])
+                          state.lm_active, t_cl[i], q_cl[i], mask[i],
+                          slot_ids=slot_ids)
             from aruco_slam_tpu.apps import sinks
             if sinks.stop_requested(viewers):
                 break  # live window 'q' ends the run
@@ -710,10 +720,16 @@ def run_multi_stream(cfg: SlamAppConfig, inputs: list[str], args,
         print(line)
 
 
-def _feed_viewers(viewers, cam_pose, lm, active, t_cl, q_cl, mask):
+def _feed_viewers(viewers, cam_pose, lm, active, t_cl, q_cl, mask,
+                  slot_ids=None):
     act = np.asarray(active)
     pts = np.asarray(lm)[:, :3][act]
-    det = [(t_cl[j], q_cl[j]) for j in np.where(np.asarray(mask))[0]]
+    ids = None if slot_ids is None else np.asarray(slot_ids)
+    # (pose, orientation, marker id) triples: the id lets the 2D
+    # overlay draw the outline + label (slot index IS the id for
+    # corner-/pose-level inputs)
+    det = [(t_cl[j], q_cl[j], int(j) if ids is None else int(ids[j]))
+           for j in np.where(np.asarray(mask))[0]]
     for v in viewers:
         v.view_frame(cam_pose, pts, det)
 
@@ -897,11 +913,11 @@ def main(argv=None) -> None:
         return
     if is_video(cfg.input):
         src = None
-        times, t_cl, q_cl, mask, cam, amb, slot_ids, reset = \
+        times, t_cl, q_cl, mask, cam, amb, slot_ids, reset, _ids = \
             load_video_observations(cfg, args.calib)
     else:
         src = NpzSource(cfg.input)
-        times, t_cl, q_cl, mask, cam, amb, slot_ids, reset = \
+        times, t_cl, q_cl, mask, cam, amb, slot_ids, reset, _ids = \
             load_observations(src, cfg)
 
     from aruco_slam_tpu.apps import sinks
@@ -922,7 +938,7 @@ def main(argv=None) -> None:
                 cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
                 ckpt_every=args.checkpoint_every,
                 ckpt_path=args.checkpoint, resume=args.resume,
-                with_rotations=args.ba_rotations)
+                with_rotations=args.ba_rotations, slot_ids=slot_ids)
 
     for v in viewers:
         v.close()

@@ -57,7 +57,8 @@ class Viewer2DSink:
 
         video = f"{cfg.viz_dir}/2d.mp4" if cfg.export_video else None
         self.v = Viewer2D(cam, export_dir=f"{cfg.viz_dir}/2d",
-                          export_video=video)
+                          export_video=video,
+                          marker_size=cfg.marker_size)
         self.provider = frame_provider
         self.blank = np.zeros(frame_shape, np.uint8)
         self.idx = 0
@@ -93,7 +94,7 @@ class Viewer3DSink:
     def view_frame(self, cam_pose, pts, det) -> None:
         r = np.asarray(quat_np.to_matrix(jnp.asarray(cam_pose[3:7])))
         dw = np.asarray(
-            [r @ np.asarray(t) + cam_pose[:3] for t, _ in det]
+            [r @ np.asarray(d[0]) + cam_pose[:3] for d in det]
         ) if det else np.zeros((0, 3))
         self.v.view(cam_pose, pts, dw)
 
@@ -234,7 +235,7 @@ class Live3DDisplaySink:
         from aruco_slam_tpu.viz.render3d import render_map_frame
         r = np.asarray(quat_np.to_matrix(jnp.asarray(cam_pose[3:7])))
         dw = np.asarray(
-            [r @ np.asarray(t) + cam_pose[:3] for t, _ in det]
+            [r @ np.asarray(d[0]) + cam_pose[:3] for d in det]
         ) if det else None
         img = render_map_frame(cam_pose, self._traj[:self._n],
                                np.asarray(pts), dw,
@@ -301,14 +302,16 @@ def build_viewers(cfg: SlamAppConfig, cam, src=None,
     return viewers
 
 
-def replay(viewers, times, cam_traj, lm, lm_active, t_cl, q_cl, mask
-           ) -> None:
+def replay(viewers, times, cam_traj, lm, lm_active, t_cl, q_cl, mask,
+           slot_ids=None) -> None:
     """Offline pass-2: push every smoothed pose + the final map through
     the sinks (reference main/run_offline.py:104-142)."""
     act = np.asarray(lm_active)
     pts = np.asarray(lm)[:, :3][act]
+    ids = None if slot_ids is None else np.asarray(slot_ids)
     for i in range(len(times)):
-        det = [(t_cl[i][j], q_cl[i][j])
+        det = [(t_cl[i][j], q_cl[i][j],
+                int(j) if ids is None else int(ids[j]))
                for j in np.where(np.asarray(mask[i]))[0]]
         for v in viewers:
             v.view_frame(np.asarray(cam_traj[i]), pts, det)

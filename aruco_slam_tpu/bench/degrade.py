@@ -81,6 +81,40 @@ def sensor_noise(img: np.ndarray, sigma: float,
     return img.astype(np.float32) + rng.normal(0, sigma, img.shape)
 
 
+def low_light(img: np.ndarray, exposure: float = 0.15,
+              gain: float | None = None, read_sigma: float = 2.0,
+              seed: int = 0) -> np.ndarray:
+    """Photon-starved capture: scale luminance by ``exposure``, draw
+    Poisson shot noise at the reduced photon count, add sensor read
+    noise, then apply digital gain (1/exposure by default) — the
+    brightness-restored but noise-amplified frame a camera's auto-gain
+    produces at night. Unlike plain ``sensor_noise``, the noise is
+    signal-dependent: dark marker cells are noisier relative to their
+    level than white ones, which is what breaks thresholding on real
+    night footage."""
+    rng = np.random.default_rng(seed)
+    photons = np.maximum(img.astype(np.float32) * exposure, 0.0)
+    shot = rng.poisson(photons).astype(np.float32)
+    out = shot + rng.normal(0.0, read_sigma, img.shape)
+    return out * (1.0 / exposure if gain is None else gain)
+
+
+def jpeg_compress(img: np.ndarray, quality: int = 30) -> np.ndarray:
+    """Round-trip through a real JPEG codec: 8x8 DCT blocking and
+    ringing around the marker edges — the dominant artifact of webcam/
+    network streams (the reference's operating regime is compressed
+    video capture, reference main/run_slam.py:96-116)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.clip(img, 0, 255).astype(np.uint8),
+                    mode="L").save(buf, format="JPEG", quality=quality)
+    buf.seek(0)
+    return np.asarray(Image.open(buf), np.uint8)
+
+
 def clutter_background(shape: tuple[int, int], seed: int = 0,
                        n_shapes: int = 40,
                        base: int = 178) -> np.ndarray:
@@ -107,9 +141,11 @@ def degrade(img: np.ndarray, blur_sigma: float = 0.0,
             motion_len: int = 0, motion_angle: float = 0.0,
             vignette_strength: float = 0.0,
             gradient_strength: float = 0.0,
-            noise_sigma: float = 0.0, seed: int = 0) -> np.ndarray:
+            noise_sigma: float = 0.0,
+            low_light_exposure: float = 0.0,
+            jpeg_quality: int = 0, seed: int = 0) -> np.ndarray:
     """Compose degradations in the physical order (illumination →
-    optics → sensor) and requantize to uint8."""
+    optics → sensor → codec) and requantize to uint8."""
     out = img.astype(np.float32)
     if gradient_strength > 0:
         out = lighting_gradient(out, gradient_strength)
@@ -119,6 +155,11 @@ def degrade(img: np.ndarray, blur_sigma: float = 0.0,
         out = gaussian_blur(out, blur_sigma)
     if motion_len > 1:
         out = motion_blur(out, motion_len, motion_angle)
+    if low_light_exposure > 0:
+        out = low_light(out, low_light_exposure, seed=seed)
     if noise_sigma > 0:
         out = sensor_noise(out, noise_sigma, seed)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    if jpeg_quality > 0:
+        out = jpeg_compress(out, jpeg_quality)
+    return out

@@ -1066,7 +1066,10 @@ def detect_markers_batch_lru(images: jnp.ndarray, cfg: DetectorConfig,
     Returns (corners (T,C,4,2), mask (T,C), reset (T,C) — slots
     recycled at each frame, to be forwarded as
     FrameObservations.reset so the filter re-initializes them —
-    table_ids, last_seen, dropped (T,) per-frame saturated-id counts).
+    ids_seq (T,C) the marker id occupying each slot AT each frame
+    (offline epoch splitting needs pre-recycle ids the final table has
+    overwritten), table_ids, last_seen, dropped (T,) per-frame
+    saturated-id counts).
     """
     return assign_sequence_lru(
         cfg, table_ids, last_seen, frame0,
@@ -1095,12 +1098,13 @@ def assign_sequence_lru(cfg: DetectorConfig, table_ids, last_seen,
         tids, seen, i = cr
         sc, sm, tids, seen, ev, dr = assign_slots_lru(
             tids, seen, i, cfg.slot_max_age, *xs)
-        return (tids, seen, i + 1), (sc, sm, ev, dr)
+        return (tids, seen, i + 1), (sc, sm, ev, tids, dr)
 
-    (table_ids, last_seen, _), (slot_c, slot_m, reset, dropped) = \
+    (table_ids, last_seen, _), (slot_c, slot_m, reset, ids_seq,
+                                dropped) = \
         jax.lax.scan(step, (table_ids, last_seen, jnp.int32(frame0)),
                      (canon, cand_ids, decoded, top_score))
-    return slot_c, slot_m, reset, table_ids, last_seen, dropped
+    return slot_c, slot_m, reset, ids_seq, table_ids, last_seen, dropped
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

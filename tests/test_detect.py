@@ -172,6 +172,13 @@ DEGRADATIONS = {
     "lighting": dict(vignette_strength=0.55, gradient_strength=0.35),
     "combined": dict(blur_sigma=1.0, noise_sigma=6.0,
                      vignette_strength=0.4),
+    # the hard half of real-camera artifacts (VERDICT r4 #8): 8x8 DCT
+    # blocking/ringing from a real JPEG codec, and gain-amplified
+    # signal-dependent shot noise from photon-starved capture
+    "jpeg": dict(jpeg_quality=20),
+    "lowlight": dict(low_light_exposure=0.12),
+    "night_stream": dict(low_light_exposure=0.2, blur_sigma=0.8,
+                         jpeg_quality=35),
 }
 
 

@@ -201,6 +201,50 @@ def test_run_slam_viz_real_frames(image_seq_file, tmp_path):
     assert (viz / "3d.mp4").stat().st_size > 0
 
 
+def test_viewer2d_marker_outline_and_id_label():
+    """drawDetectedMarkers parity (VERDICT r4 #6, reference
+    filters/base_filter.py:198): a detection carrying a marker id must
+    render the green square outline and the id's digits in the id
+    color at the marker's top-left corner."""
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.core import camera as cam_mod
+    from aruco_slam_tpu.viz import draw
+    from aruco_slam_tpu.viz.viewer2d import (
+        ID_COLOR, OUTLINE_COLOR, Viewer2D)
+
+    k = np.array([[500.0, 0.0, 480.0], [0.0, 500.0, 270.0],
+                  [0.0, 0.0, 1.0]])
+    cam = cam_mod.CameraModel.from_matrix(
+        jnp.asarray(k), jnp.zeros(5))
+    # display_size == frame size: no resample between draw and assert
+    v = Viewer2D(cam, display_size=(960, 540), marker_size=0.16)
+    frame = np.zeros((540, 960), np.uint8)
+    t_cl = np.array([0.15, 0.1, 1.2])
+    q_cl = np.array([1.0, 0.0, 0.0, 0.0])      # identity, wxyz
+    pose = np.array([0, 0, 0, 1.0, 0, 0, 0])
+    out = v.view(frame, pose, np.zeros((0, 3)), [(t_cl, q_cl, 42)])
+
+    # expected top-left corner pixel (IPPE corner 0 = (-s, +s, 0))
+    s = 0.08
+    tl = np.asarray(cam_mod.project(
+        cam, jnp.asarray(t_cl + np.array([-s, s, 0.0]))))
+    # id digits: the exact glyph mask of "42" at tl + (8, 8)
+    m = draw.glyph_mask("42", 3)
+    x0, y0 = int(round(tl[0] + 8)), int(round(tl[1] + 8))
+    region = out[y0:y0 + m.shape[0], x0:x0 + m.shape[1]]
+    assert region.shape[:2] == m.shape, "label fell off the frame"
+    assert (region[m] == ID_COLOR).all(), "id digits not rendered"
+    # outline: green border pixels at an edge midpoint
+    br = np.asarray(cam_mod.project(
+        cam, jnp.asarray(t_cl + np.array([s, -s, 0.0]))))
+    mid_right = ((tl + np.array([2 * s * 500 / 1.2, 0]) + br) / 2)
+    ys, xs = int(round(mid_right[1])), int(round(mid_right[0]))
+    patch = out[ys - 3:ys + 4, xs - 3:xs + 4].reshape(-1, 3)
+    assert (patch == np.array(OUTLINE_COLOR)).all(1).any(), \
+        "marker outline not rendered"
+
+
 @pytest.mark.parametrize("filt", ["mekf", "factorgraph"])
 def test_display_quit_key_stops_run(image_seq_file, tmp_path,
                                     monkeypatch, filt):

@@ -160,22 +160,20 @@ def test_corridor_recycles_and_keeps_ate_bounded():
     assert dropped0 > 0, "without recycling the table must saturate"
 
 
-def test_run_slam_slot_recycling_cli(tmp_path):
-    """Product path: run_slam --slot-max-age on an image sequence
-    whose marker cohort CHANGES mid-run at a capacity too small for
-    both cohorts — the map must contain second-cohort ids (and the
-    saturation warning machinery must not fire once recycling is on)."""
-    from aruco_slam_tpu.apps import make_synthetic, run_slam
-    from aruco_slam_tpu.io import load_map, sources
+def _two_cohort_sequence(tmp_path, frames=6):
+    """Image sequence whose marker cohort changes mid-run: cohort A
+    (ids 0-4) then cohort B (ids 20-24), too many for capacity 5."""
+    from aruco_slam_tpu.apps import make_synthetic
+    from aruco_slam_tpu.io import sources
 
     k = np.array([[530.0, 0.0, 360.0], [0.0, 530.0, 202.0],
                   [0.0, 0.0, 1.0]])
     a = make_synthetic.build(
-        frames=6, markers=5, capacity=16, noise_px=0.2, seed=0,
+        frames=frames, markers=5, capacity=16, noise_px=0.2, seed=0,
         camera_matrix=k, dist_coeffs=np.zeros(5), with_images=True,
         image_size=(720, 405), marker_ids=np.arange(5))
     b = make_synthetic.build(
-        frames=6, markers=5, capacity=16, noise_px=0.2, seed=1,
+        frames=frames, markers=5, capacity=16, noise_px=0.2, seed=1,
         camera_matrix=k, dist_coeffs=np.zeros(5), with_images=True,
         image_size=(720, 405), marker_ids=np.arange(5) + 20)
     seq = dict(a)
@@ -187,7 +185,55 @@ def test_run_slam_slot_recycling_cli(tmp_path):
             seq[key] = np.concatenate([a[key], b[key]])
     path = tmp_path / "corridor.npz"
     sources.save_npz(path, **seq)
+    return path
 
+
+def test_run_offline_epoch_split_recycling(tmp_path):
+    """Offline BA + slot recycling (VERDICT r4 #4): a recycled slot
+    must open a FRESH landmark column, never merge two physical
+    markers into one. The two-cohort corridor at capacity 5 forces
+    every slot to recycle; the epoch-split solve must produce one map
+    entry per marker of BOTH cohorts (the online filter forgets the
+    evicted cohort — offline smoothing keeps every epoch), with
+    positions matching a capacity-16 run that never recycles."""
+    from aruco_slam_tpu.apps import run_offline
+    from aruco_slam_tpu.io import load_map
+
+    path = _two_cohort_sequence(tmp_path)
+
+    def solve(tag, extra):
+        mp = tmp_path / f"map_{tag}.txt"
+        run_offline.main(["--input", str(path),
+                          "--trajectory", str(tmp_path / f"t_{tag}.txt"),
+                          "--map", str(mp), "--iters", "15"] + extra)
+        ids, pos, _ = load_map(mp)
+        return {int(i): p for i, p in zip(ids, pos)}
+
+    rec = solve("rec", ["--capacity", "5", "--slot-max-age", "1"])
+    # epoch 0 (cohort A) survives in the MAP even though the online
+    # table evicted it, and recycled slots map cohort B under TRUE ids
+    assert set(range(5)) <= set(rec), rec.keys()
+    assert len(set(rec) & set(range(20, 25))) >= 3, rec.keys()
+    assert all(np.isfinite(p).all() for p in rec.values())
+    # no two-markers-one-landmark merge: every recycled-run landmark
+    # matches the landmark of the SAME id in a capacity-16 run that
+    # never recycles
+    gold = solve("gold", ["--capacity", "16"])
+    assert set(rec) <= set(gold)
+    for i in rec:
+        np.testing.assert_allclose(rec[i], gold[i], atol=5e-3,
+                                   err_msg=f"marker {i}")
+
+
+def test_run_slam_slot_recycling_cli(tmp_path):
+    """Product path: run_slam --slot-max-age on an image sequence
+    whose marker cohort CHANGES mid-run at a capacity too small for
+    both cohorts — the map must contain second-cohort ids (and the
+    saturation warning machinery must not fire once recycling is on)."""
+    from aruco_slam_tpu.apps import run_slam
+    from aruco_slam_tpu.io import load_map
+
+    path = _two_cohort_sequence(tmp_path)
     mp = tmp_path / "map.txt"
     run_slam.main(["--input", str(path), "--capacity", "5",
                    "--slot-max-age", "2",
