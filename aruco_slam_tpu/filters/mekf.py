@@ -344,10 +344,22 @@ def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
     new-block rows = ∂g/∂(camera error) in the camera columns and
     B = ∂g/∂(measurement).
 
-    Wrapped in `lax.cond` on "any new landmark this frame": the
-    augmentation costs two dense N×N×N products, but after the map is
-    built almost every frame adds nothing — the skip saves ~30% of the
-    per-frame flops in steady state.
+    BLOCKED product: G = M + E with M = diag(keep) (identity minus
+    the new rows/cols) and E the rank-ce scatter of the new-block
+    camera Jacobian rows, so
+
+        G P Gᵀ = M P M + (E P)M + ((E P)M)ᵀ + E P Eᵀ,
+
+    where every E-product contracts over only the ce camera columns
+    (E P = g_full @ P[:ce, :]). The dense form is two N³ GEMMs —
+    14.7 GFLOP/frame at the 512-survey's N=1545, and under vmap the
+    `lax.cond` below becomes a SELECT that executes the branch every
+    frame, which made this one product ~90% of the whole batched
+    survey pipeline. The blocked form is ~2·3·N²·ce ≈ 0.13 GFLOP.
+
+    Wrapped in `lax.cond` on "any new landmark this frame": after the
+    map is built almost every frame adds nothing, so the unbatched
+    filter skips even the blocked cost.
     """
     c, le, n, dt = cfg.capacity, cfg.lm_edims, cfg.err_dim, cfg.dtype
     ce = cfg.cam_edims
@@ -391,12 +403,16 @@ def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
         j_cam_init, j_z_init = jac  # (C, le, 6), (C, le, zdim)
 
         g_cam = jnp.where(new[:, None, None], j_cam_init, 0.0)
-        g_mat = jnp.eye(n, dtype=dt) * (~new_dims)[:, None]
-        g_mat = g_mat.at[ce:, :ce].set(
-            g_cam.reshape(c * le, ce))
+        g_full = jnp.zeros((n, ce), dt).at[ce:, :].set(
+            g_cam.reshape(c * le, ce))              # E's cam columns
+        keep = (~new_dims).astype(dt)               # (N,)
+        p = state.cov
+        mpm = p * (keep[:, None] * keep[None, :])   # M P M
+        epm = (g_full @ p[:ce, :]) * keep[None, :]  # (E P) M, rank-ce
+        epe = g_full @ (p[:ce, :ce] @ g_full.T)     # E P Eᵀ, rank-ce
+        cov = mpm + epm + epm.T + epe
         b = jnp.where(new[:, None, None], j_z_init, 0.0)
         brb = jnp.einsum("jlz,jmz,jz->jlm", b, b, r_init)
-        cov = g_mat @ state.cov @ g_mat.T
         # block-diagonal scatter of brb (dense einsum against identity)
         eye_c = jnp.eye(c, dtype=dt)
         brb_full = jnp.einsum("jc,jlm->jlcm", eye_c, brb).reshape(

@@ -76,6 +76,20 @@ class DetectorConfig(NamedTuple):
                                   # per-pixel iteration (gather-free
                                   # replacement of the old pointer-
                                   # jump stage)
+    fine_scan_rounds: int | None = None
+                                  # scan rounds for FINE-downscale
+                                  # passes (None = scan_rounds). The
+                                  # fine pass exists to split small/
+                                  # medium markers from adjacent
+                                  # clutter; its scans are the robust
+                                  # sweep's single costliest kernel
+                                  # (4x the coarse pixel count), and a
+                                  # fine-pass split of a LARGE marker
+                                  # is harmless — the coarse passes
+                                  # label it whole and id-dedup keeps
+                                  # their copy (oracle-gated:
+                                  # tests/test_detect.py TestDegraded
+                                  # + clutter recall)
     subpix_win: int = 6           # half window (13x13)
     subpix_iters: int = 6
     track_win: int = 8            # track_markers first-stage half
@@ -379,13 +393,6 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
     for half, _ in schedule:
         cum += half  # max drift this stage adds
         rad = max(rad, cum + half + 1)
-    patches, cx0, cy0 = _gather_patches(img, corners, rad)
-
-    # starting offset of the true corner estimate from the patch
-    # center, and the per-stage drift clamps (window must stay inside
-    # the patch) — shared by both backends
-    c = jnp.stack([corners[:, 0] - cx0, corners[:, 1] - cy0], -1)
-    c = jnp.clip(c, -(rad - 1), rad - 1)
     drift = 0
     sched = []
     for half, iters in schedule:
@@ -394,16 +401,23 @@ def _subpix_refine(img: jnp.ndarray, corners: jnp.ndarray,
         sched.append((half, iters, sigma2, drift))
 
     if pallas_mode != "off":
-        # VMEM-resident iterations: the XLA loop re-reads the patch
-        # gradient planes from HBM every iteration (~60 MB/frame at
-        # robust candidate counts — measured 0.76 ms/frame, pure
-        # bandwidth); the kernel touches HBM once per patch
+        # fused VMEM-resident gather + iterations: the XLA patch
+        # gather reads ~p rows per corner from HBM at (8, 128)-tile
+        # granularity (~0.4 ms/frame at robust candidate counts — the
+        # stage's real cost; the iteration math is 0.13), and the XLA
+        # loop re-reads the gradient planes from HBM every iteration.
+        # The kernel copies the frame to VMEM once and does
+        # everything there (ops/pallas_subpix.refine_corners_fused)
         from aruco_slam_tpu.ops import pallas_subpix
-        ref = pallas_subpix.refine_offsets(
-            patches, c, tuple(sched),
+        return pallas_subpix.refine_corners_fused(
+            img, corners, tuple(sched),
             interpret=(pallas_mode == "interpret"))
-        return (ref.astype(jnp.float32)
-                + jnp.stack([cx0, cy0], -1).astype(jnp.float32))
+
+    patches, cx0, cy0 = _gather_patches(img, corners, rad)
+    # starting offset of the true corner estimate from the patch
+    # center (window must stay inside the patch)
+    c = jnp.stack([corners[:, 0] - cx0, corners[:, 1] - cy0], -1)
+    c = jnp.clip(c, -(rad - 1), rad - 1)
 
     # dense gradients on the patch interior: (N, P-2, P-2)
     gx = 0.5 * (patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2])
@@ -451,28 +465,39 @@ def _homography_cells(corners: jnp.ndarray, cells: int) -> jnp.ndarray:
     """Homography from cell-grid coords (x right, y down, origin at
     corner 0) to pixels, per candidate. corners: (K, 4, 2) clockwise.
 
-    Hartley-normalized: the DLT normal equations in raw pixel
-    coordinates (entries ~1e7) destroy an f32 Cholesky on TPU, so the
-    pixel targets are centered/scaled to ~unit size and the similarity
-    is re-applied to the solved homography.
+    Closed form: the source is a SQUARE, so the exact 4-point
+    homography comes from pnp's Heckbert projective-interpolation
+    entries (ops/pnp._h_square_entries) composed with the constant
+    affine cell-grid -> canonical-square map — ~40 batched scalar ops
+    per candidate instead of the 8x8 DLT normal solve the first cut
+    vmapped here (96 tiny serialized solves, 0.1 ms/frame). The quad
+    targets are centered/scaled to ~unit size first (same Hartley
+    conditioning the DLT needed: the entries mix products of
+    coordinates, and pixel-scale magnitudes cost f32 bits).
     """
-    from aruco_slam_tpu.ops.pnp import homography_4pt
+    from aruco_slam_tpu.ops.pnp import _h_square_entries
     g = float(cells)
-    obj = jnp.asarray([[0.0, 0.0], [g, 0.0], [g, g], [0.0, g]],
-                      corners.dtype)
 
-    def one(c):
-        center = c.mean(axis=0)
-        scale = jnp.maximum(
-            jnp.abs(c - center).mean(), 1e-3)
-        h_norm = homography_4pt(obj, (c - center) / scale)
-        t = jnp.asarray(
-            [[scale, 0.0, center[0]],
-             [0.0, scale, center[1]],
-             [0.0, 0.0, 1.0]], c.dtype)
-        return t @ h_norm
-
-    return jax.vmap(one)(corners)
+    center = corners.mean(axis=1)                        # (K, 2)
+    scale = jnp.maximum(
+        jnp.abs(corners - center[:, None, :]).mean(axis=(1, 2)), 1e-3)
+    cn = (corners - center[:, None, :]) / scale[:, None, None]
+    # canonical square (Heckbert order TL TR BR BL with y UP, s=g/2)
+    # relates to cell coords by x_sq = x - g/2, y_sq = g/2 - y
+    u = [cn[:, i, 0] for i in range(4)]
+    v = [cn[:, i, 1] for i in range(4)]
+    hsq = _h_square_entries(jnp.asarray(g / 2.0, corners.dtype), u, v)
+    h_norm = jnp.stack([jnp.stack(r, -1) for r in
+                        [[hsq[i][j] for j in range(3)]
+                         for i in range(3)]], -2)        # (K, 3, 3)
+    t = jnp.zeros((corners.shape[0], 3, 3), corners.dtype)
+    t = t.at[:, 0, 0].set(scale).at[:, 1, 1].set(scale) \
+         .at[:, 0, 2].set(center[:, 0]) \
+         .at[:, 1, 2].set(center[:, 1]).at[:, 2, 2].set(1.0)
+    a = jnp.asarray([[1.0, 0.0, -g / 2.0],
+                     [0.0, -1.0, g / 2.0],
+                     [0.0, 0.0, 1.0]], corners.dtype)
+    return t @ h_norm @ a
 
 
 
@@ -642,9 +667,11 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
         # halved budget by tests/test_detect.py
         # test_flood_converges_on_marker_shapes.
         fine = ds < base_ds
+        fine_rounds = (cfg.scan_rounds if cfg.fine_scan_rounds is None
+                       else cfg.fine_scan_rounds)
         labels = _connected_components(
             fg, cfg.prop_iters // 2 if fine else cfg.prop_iters,
-            scan_rounds=cfg.scan_rounds,
+            scan_rounds=fine_rounds if fine else cfg.scan_rounds,
             pallas_mode=pm)
 
         # Fine-downscale passes exist to SEPARATE components the

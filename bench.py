@@ -14,11 +14,31 @@ value; `single_stream_fps` rides along for latency comparisons.
 vs_baseline is the speedup over the measured reference-EKF CPU rate at
 the same observation boundary (45.1 fps @ 8 visible markers of a
 64-marker map — see BASELINE_MEASURED.md).
+
+Ride-along fields (VERDICT r4 #3 — every axis the engine has must be
+visible in the driver artifact, each timeboxed so one cold compile
+cannot kill the whole row):
+
+* robust_e2e_fps      — full image->pose at 1080p, 3-pass robust
+                        detection every frame, 128 frames / chunk 16:
+                        the SAME program shape as bench/e2e.py's
+                        standard run, so the README and this artifact
+                        can no longer disagree (VERDICT r4 weak #1)
+* streaming_fps       — image->pose with --track-every 8 streaming
+* serving_fps_per_stream — 8-camera 1080p full-detection serving
+                        (BASELINE config 5), measured on the REAL
+                        vmapped fleet program
+* large_map_fps / large_map_mfu_pct / ba_lm_iters_per_s —
+                        512-marker survey MEKF (dim-1545 covariance,
+                        real MXU work) and the 512-pose batch-LM BA
+                        solve, via bench/large_map.py
 """
 
 from __future__ import annotations
 
 import json
+import signal
+import time
 
 import numpy as np
 
@@ -28,6 +48,27 @@ FRAMES = 512
 CAPACITY = 64
 MARKERS = 8
 BATCH = 256
+
+
+def _timeboxed(budget_s):
+    """Decorator: run the field fn under SIGALRM; return {} + error
+    field on timeout/exception (bench must always print its row)."""
+    def deco(fn):
+        def wrapped(*a, **kw):
+            def handler(signum, frame):
+                raise TimeoutError(f"exceeded {budget_s}s")
+            old = signal.signal(signal.SIGALRM, handler)
+            signal.alarm(budget_s)
+            try:
+                return fn(*a, **kw)
+            except Exception as e:  # noqa: BLE001
+                return {f"{fn.__name__.lstrip('_')}_error":
+                        f"{type(e).__name__}: {e}"[:120]}
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+        return wrapped
+    return deco
 
 
 def main() -> None:
@@ -105,85 +146,181 @@ def main() -> None:
         "single_stream_fps": round(single_fps, 1),
         **flops_metrics(flops, dtb),
     }
-    # image-domain numbers ride along so the driver-captured artifact
-    # tracks detector progress (VERDICT r3 #7: the MEKF headline never
-    # saw the robust-detector story). Timeboxed: a cold compile over
-    # the tunnel must not kill the whole bench row.
-    try:
-        row.update(_image_e2e_fields(cam, time_budget_s=1500))
-    except Exception as e:  # noqa: BLE001 - bench must still print
-        row["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
+    # image-domain + scale axes ride along so the driver-captured
+    # artifact sees every engine axis (VERDICT r3 #7 / r4 #3)
+    row.update(_image_fields(cam))
+    row.update(_streaming_field(cam))
+    row.update(_serving_field(cam))
+    row.update(_large_map_fields())
     print(json.dumps(row))
 
 
-def _image_e2e_fields(cam, time_budget_s: int = 1500,
-                      frames: int = 16, chunk: int = 8) -> dict:
-    """Robust image->pose e2e fps (full 3-pass detector every frame)
-    on rendered 1080p frames — the detector-bound number the e2e
-    bench (bench/e2e.py) reports, in compact form."""
-    import signal
-    import time
-
+def _rendered_frames(cam, frames: int, markers: int = 10,
+                     video_rate: bool = False):
+    """Rendered 1080p frames + scene, host-cached (rendering is
+    ~2 s/frame on this host)."""
     import jax
     import jax.numpy as jnp
 
     from aruco_slam_tpu.bench import synthetic
     from aruco_slam_tpu.bench.render import render_sequence
+
+    scene = synthetic.make_wall_scene(num_markers=markers, seed=0)
+    if video_rate:
+        traj = jax.tree.map(
+            lambda a: a[:frames],
+            synthetic.make_orbit_trajectory(num_frames=10 * frames))
+    else:
+        traj = synthetic.make_orbit_trajectory(num_frames=frames)
+    tag = "vr" if video_rate else "orbit"
+    cache = f"/tmp/bench_e2e_frames_{tag}_{frames}_{markers}.npz"
+    try:
+        imgs = np.load(cache)["frames"]
+    except (FileNotFoundError, KeyError):
+        imgs = np.asarray(render_sequence(
+            scene, traj, cam, image_size=(1920, 1080)))
+        np.savez(cache, frames=imgs)
+    return jnp.asarray(imgs), scene
+
+
+def _e2e_programs(cam, scene, frames: int, chunk: int,
+                  track_every: int = 0):
+    """The bench/e2e.py program shapes: detect (full or streaming) ->
+    chunked PnP -> fused MEKF scan, per stream."""
+    import jax
+    import jax.numpy as jnp
+
     from aruco_slam_tpu.filters import (
         FrameObservations, MekfConfig, init_state, mekf_scan)
     from aruco_slam_tpu.ops import detect, pnp
 
-    def timeout_handler(signum, frame):
-        raise TimeoutError(f"e2e fields exceeded {time_budget_s}s")
+    dcfg = detect.DetectorConfig(capacity=CAPACITY)  # robust
+    fcfg = MekfConfig(capacity=CAPACITY)
+    state0 = init_state(fcfg)
+    ms = scene.marker_size
+    t = frames
 
-    old = signal.signal(signal.SIGALRM, timeout_handler)
-    signal.alarm(time_budget_s)
-    try:
-        scene = synthetic.make_wall_scene(num_markers=10, seed=0)
-        traj = synthetic.make_orbit_trajectory(num_frames=frames)
-        cache = f"/tmp/bench_e2e_frames_{frames}.npz"
-        try:
-            imgs = np.load(cache)["frames"]
-        except (FileNotFoundError, KeyError):
-            imgs = np.asarray(render_sequence(
-                scene, traj, cam, image_size=(1920, 1080)))
-            np.savez(cache, frames=imgs)
-        images = jnp.asarray(imgs)
-        dcfg = detect.DetectorConfig(capacity=CAPACITY)  # robust
-        fcfg = MekfConfig(capacity=CAPACITY)
-        state0 = init_state(fcfg)
-        ms = scene.marker_size
-        t = frames
-        reps = 4
-
-        def e2e(ims, state):
+    def detect_seq(images):
+        if not track_every:
             det = jax.lax.map(
                 lambda x: detect.detect_markers_batch(x, dcfg),
-                ims.reshape(t // chunk, chunk, *ims.shape[1:]))
-            cs = det.corners.reshape(t, CAPACITY, 4, 2)
-            msk = det.mask.reshape(t, CAPACITY)
-            res = pnp.solve_square_pnp(cam, cs, ms)
-            obs = FrameObservations(res.t_cl, res.q_cl,
-                                    msk & (res.err < 3.0))
-            return mekf_scan(fcfg, state, obs)
+                images.reshape(t // chunk, chunk, *images.shape[1:]))
+            return (det.corners.reshape(t, CAPACITY, 4, 2),
+                    det.mask.reshape(t, CAPACITY))
+        _, (cs, msk) = jax.lax.scan(
+            detect.streaming_step(dcfg, track_every),
+            detect.streaming_init(dcfg), images)
+        return cs, msk
 
-        @jax.jit
-        def timed(ims):
-            def body(i, acc):
-                _, tr = e2e(ims ^ (i % 2).astype(jnp.uint8), state0)
-                return acc + tr.sum()
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    def pnp_mekf_tail(cs, msk, state):
+        res = pnp.solve_square_pnp(cam, cs, ms)
+        obs = FrameObservations(res.t_cl, res.q_cl,
+                                msk & (res.err < 3.0))
+        return mekf_scan(fcfg, state, obs)
 
-        # tunnel discipline: warm on a DIFFERENT value, sync by FETCH
-        float(timed(images ^ jnp.uint8(2)))
-        t0 = time.perf_counter()
-        float(timed(images))
-        dt = (time.perf_counter() - t0) / reps
-        return {"robust_e2e_fps": round(t / dt, 1),
-                "robust_e2e_frames": t}
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    def e2e(images, state):
+        return pnp_mekf_tail(*detect_seq(images), state)
+
+    return e2e, state0, fcfg
+
+
+def _timed_fps(e2e, state0, images, frames: int, reps: int):
+    """On-device rep loop, wrap-safe xor perturbation, scalar-fetch
+    sync (the tunnel-executor discipline — bench/pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def timed(ims):
+        def body(i, acc):
+            _, tr = e2e(ims ^ (i % 2).astype(jnp.uint8), state0)
+            return acc + tr.sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    float(timed(images ^ jnp.uint8(2)))      # compile + warm
+    t0 = time.perf_counter()
+    float(timed(images))
+    dt = (time.perf_counter() - t0) / reps
+    return frames / dt
+
+
+@_timeboxed(2400)
+def _image_fields(cam, frames: int = 128, chunk: int = 16) -> dict:
+    """Robust image->pose e2e fps — the 128-frame bench/e2e.py
+    standard (the r4 artifact used a 16-frame variant that disagreed
+    with the README by 4%)."""
+    images, scene = _rendered_frames(cam, frames)
+    e2e, state0, _ = _e2e_programs(cam, scene, frames, chunk)
+    fps = _timed_fps(e2e, state0, images, frames, reps=4)
+    return {"robust_e2e_fps": round(fps, 1),
+            "robust_e2e_frames": frames}
+
+
+@_timeboxed(1200)
+def _streaming_field(cam, frames: int = 128, track_every: int = 8
+                     ) -> dict:
+    """Streaming (detect-every-K) image->pose fps on a video-rate
+    trajectory."""
+    images, scene = _rendered_frames(cam, frames, video_rate=True)
+    e2e, state0, _ = _e2e_programs(cam, scene, frames, 16,
+                                   track_every=track_every)
+    fps = _timed_fps(e2e, state0, images, frames, reps=4)
+    return {"streaming_fps": round(fps, 1),
+            "streaming_track_every": track_every}
+
+
+@_timeboxed(2400)
+def _serving_field(cam, frames: int = 64, chunk: int = 16,
+                   streams: int = 8) -> dict:
+    """8-camera 1080p full-detection serving (BASELINE config 5),
+    measured on the REAL vmapped fleet program (VERDICT r4 weak #6:
+    the single-stream proxy mismeasures the fleet's cost structure)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu.parallel.multi_slam import stack_states
+    from aruco_slam_tpu.filters import init_state
+
+    images, scene = _rendered_frames(cam, frames)
+    e2e, state0, fcfg = _e2e_programs(cam, scene, frames, chunk)
+    states0 = stack_states([init_state(fcfg)] * streams)
+    fleet = jax.vmap(e2e)
+    reps = 2
+
+    @jax.jit
+    def timed(ims, states):
+        def body(i, acc):
+            jitter = ((jnp.arange(streams) + i) % 3
+                      ).astype(jnp.uint8)[:, None, None, None]
+            _, trs = fleet(ims[None] ^ jitter, states)
+            return acc + trs.sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    float(timed(images ^ jnp.uint8(2), states0))
+    t0 = time.perf_counter()
+    float(timed(images, states0))
+    dt = (time.perf_counter() - t0) / reps
+    return {"serving_fps_per_stream": round(frames / dt, 1),
+            "serving_streams": streams}
+
+
+@_timeboxed(3000)
+def _large_map_fields() -> dict:
+    """512-marker survey MEKF (dim-1545 covariance — real MXU work,
+    with MFU) + the 512-pose/~17k-factor batch-LM BA solve, from
+    bench/large_map.py's standard run."""
+    import io
+    from contextlib import redirect_stdout
+
+    from aruco_slam_tpu.bench import large_map
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        large_map.main(["--reps", "2"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    return {"large_map_fps": out["value"],
+            "large_map_mfu_pct": out.get("mfu_pct"),
+            "ba_lm_iters_per_s": round(40.0 / out["offline_ba_s"], 2)}
 
 
 if __name__ == "__main__":

@@ -464,3 +464,84 @@ def test_dropped_obs_counter():
     s2 = init_state(cfg2)
     s2 = mekf_step(cfg2, s2, obs)
     assert int(s2.dropped_obs) == 0
+
+
+def test_blocked_augmentation_matches_dense_gpg():
+    """_augment_consistent's blocked form (M P M + rank-ce E terms)
+    must equal the dense G P Gᵀ + B R Bᵀ it replaces (the dense form
+    was two N³ GEMMs per frame, ~90% of the batched 512-survey cost
+    under vmap'd lax.cond — VERDICT r4 #7)."""
+    import jax
+    from aruco_slam_tpu.filters import mekf as m
+
+    for with_rot, seed in ((False, 0), (True, 1)):
+        cfg = MekfConfig(capacity=6, with_rotations=with_rot,
+                         motion_model="cv")
+        n, ce, le, c = cfg.err_dim, cfg.cam_edims, cfg.lm_edims, 6
+        rng = np.random.default_rng(seed)
+        a = rng.normal(size=(n, n))
+        cov = jnp.asarray(a @ a.T * 0.01 + np.eye(n) * 0.1, cfg.dtype)
+        state = init_state(cfg)._replace(
+            cov=cov,
+            cam_t=jnp.asarray(rng.normal(size=3), cfg.dtype),
+            cam_q=jnp.asarray([0.9, 0.1, -0.2, 0.4], cfg.dtype))
+        state = state._replace(
+            cam_q=state.cam_q / jnp.linalg.norm(state.cam_q))
+        new = jnp.asarray([True, False, True, False, False, True])
+        new_dims = jnp.concatenate(
+            [jnp.zeros(ce, bool), jnp.repeat(new, le)])
+        t_cl = jnp.asarray(rng.normal(size=(c, 3)) + [0, 0, 3],
+                           cfg.dtype)
+        q_raw = rng.normal(size=(c, 4))
+        q_cl = jnp.asarray(
+            q_raw / np.linalg.norm(q_raw, axis=1, keepdims=True),
+            cfg.dtype)
+        r_init = jnp.asarray(rng.uniform(0.01, 0.1, (c, 6 if with_rot
+                                                     else 3)),
+                             cfg.dtype)
+
+        got = m._augment_consistent(cfg, state, new, new_dims, t_cl,
+                                    q_cl, r_init)
+
+        # dense reference: build G and B R Bᵀ explicitly
+        zc = jnp.zeros(ce, cfg.dtype)
+        if with_rot:
+            def g_init(eps_c, z, tcl_j, qcl_j):
+                from aruco_slam_tpu.core import quaternion as quat
+                t = state.cam_t + eps_c[m._DT]
+                q_wc = m._perturb(state.cam_q, eps_c[m._DTH])
+                xyz = quat.rotate(q_wc, tcl_j + z[:3]) + t
+                q_wl = quat.multiply(q_wc, m._perturb(qcl_j, z[3:6]))
+                xyz0 = quat.rotate(state.cam_q, tcl_j) + state.cam_t
+                q0 = quat.multiply(state.cam_q, qcl_j)
+                dq = quat.multiply(q_wl, quat.conjugate(q0))
+                return jnp.concatenate([xyz - xyz0, quat.to_rotvec(dq)])
+            jac = jax.vmap(jax.jacfwd(g_init, argnums=(0, 1)),
+                           in_axes=(None, None, 0, 0))(
+                zc, jnp.zeros(6, cfg.dtype), t_cl, q_cl)
+        else:
+            def g_init(eps_c, z, tcl_j):
+                from aruco_slam_tpu.core import quaternion as quat
+                t = state.cam_t + eps_c[m._DT]
+                q_wc = m._perturb(state.cam_q, eps_c[m._DTH])
+                xyz = quat.rotate(q_wc, tcl_j + z) + t
+                xyz0 = quat.rotate(state.cam_q, tcl_j) + state.cam_t
+                return xyz - xyz0
+            jac = jax.vmap(jax.jacfwd(g_init, argnums=(0, 1)),
+                           in_axes=(None, None, 0))(
+                zc, jnp.zeros(3, cfg.dtype), t_cl)
+        j_cam_init, j_z_init = jac
+        g_cam = jnp.where(new[:, None, None], j_cam_init, 0.0)
+        g_mat = jnp.eye(n, dtype=cfg.dtype) * (~new_dims)[:, None]
+        g_mat = g_mat.at[ce:, :ce].set(g_cam.reshape(c * le, ce))
+        b = jnp.where(new[:, None, None], j_z_init, 0.0)
+        brb = jnp.einsum("jlz,jmz,jz->jlm", b, b, r_init)
+        ref = g_mat @ cov @ g_mat.T
+        eye_c = jnp.eye(c, dtype=cfg.dtype)
+        brb_full = jnp.einsum("jc,jlm->jlcm", eye_c, brb).reshape(
+            c * le, c * le)
+        ref = ref.at[ce:, ce:].add(brb_full)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5,
+                                   err_msg=f"with_rotations={with_rot}")
