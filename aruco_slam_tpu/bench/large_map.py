@@ -35,6 +35,21 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-obs", type=int, default=48)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--precision", default="mixed",
+                   choices=["highest", "high", "mixed"],
+                   help="update-chain matmul precision (filters/mekf "
+                        "matmul_precision). The serving default is "
+                        "'mixed': bf16 bulk covariance products with "
+                        "the gain chain pinned f32 — measured ATE "
+                        "0.073 vs 0.067 m at 'highest' on this bench, "
+                        "+14%% throughput")
+    p.add_argument("--cov-dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="covariance STORAGE dtype (MekfConfig."
+                        "cov_dtype): bf16 halves the bandwidth the "
+                        "dim-1545 step is bound on (measured 559 -> "
+                        "810 fps batch 8) at an ATE cost this bench "
+                        "reports honestly (0.127 vs 0.073 m)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -75,7 +90,10 @@ def main(argv=None) -> None:
     fcfg = MekfConfig(capacity=args.markers, max_obs=args.max_obs,
                       pallas_update=False, s_solver="ns",
                       pixel_sigma=0.3, gate_distance=1.5,
-                      motion_model="cv", vel_decay=0.99)
+                      motion_model="cv", vel_decay=0.99,
+                      matmul_precision=args.precision,
+                      cov_dtype=jnp.bfloat16
+                      if args.cov_dtype == "bf16" else None)
     state0 = init_state(fcfg)
     marker_size = scene.marker_size
 
@@ -136,7 +154,8 @@ def main(argv=None) -> None:
         "metric": "large_map_fps_per_chip",
         "value": round(fps, 1),
         "unit": f"frames/s ({args.markers}-marker map, "
-                f"batch {args.batch})",
+                f"batch {args.batch}, {args.precision} precision, "
+                f"{args.cov_dtype} covariance)",
         "single_stream_fps": round(single_fps, 1),
         "ate_m": round(float(ate), 4),
         "offline_ba_ate_m": round(float(ba_ate), 4),

@@ -91,6 +91,18 @@ class MekfConfig(NamedTuple):
     joseph_form: bool = True
     consistent_init: bool = True
     dtype: jnp.dtype = jnp.float32
+    # covariance STORAGE dtype (None = `dtype`). "bf16" halves the
+    # covariance HBM traffic — at survey scale (err_dim 1545, 9.5 MB
+    # f32) the batched step is bandwidth-bound on ~a dozen
+    # cov-sized passes per frame, so storage width is the throughput
+    # knob. All small/critical algebra (the gain chain ph_t -> S ->
+    # S⁻¹ -> K, residuals, state vectors) stays f32: bf16 inputs
+    # promote to f32 at those ops, so only the bulky N² reads/writes
+    # narrow. Joseph form + per-step symmetrization absorb the extra
+    # rounding like a little process noise; validate ATE on your map
+    # scale before serving with it (bench/large_map.py reports it).
+    # Only the XLA update path supports it (pallas_update=False).
+    cov_dtype: jnp.dtype | None = None
     # fused Pallas update kernel (filters/pallas_mekf.py); None = auto
     # (on when running on TPU and joseph_form is set). NOTE: under
     # vmap a pallas_call serializes its batch grid — for batched
@@ -253,7 +265,7 @@ def init_state(cfg: MekfConfig, cam_t=None, cam_q=None) -> MekfState:
         cam_t=cam_t,
         cam_q=cam_q,
         lm=lm,
-        cov=jnp.diag(diag),
+        cov=jnp.diag(diag).astype(cfg.cov_dtype or dt),
         active=jnp.zeros(cfg.capacity, dtype=bool),
         vel=jnp.zeros(3, dt),
         dropped_obs=jnp.zeros((), jnp.int32),
@@ -407,17 +419,45 @@ def _augment_consistent(cfg: MekfConfig, state: MekfState, new, new_dims,
             g_cam.reshape(c * le, ce))              # E's cam columns
         keep = (~new_dims).astype(dt)               # (N,)
         p = state.cov
-        mpm = p * (keep[:, None] * keep[None, :])   # M P M
-        epm = (g_full @ p[:ce, :]) * keep[None, :]  # (E P) M, rank-ce
-        epe = g_full @ (p[:ce, :ce] @ g_full.T)     # E P Eᵀ, rank-ce
-        cov = mpm + epm + epm.T + epe
+        cdt = p.dtype  # covariance storage dtype (cfg.cov_dtype)
+        if n < 768:
+            # small-state: ONE dense G P Gᵀ keeps the MXU busy and
+            # beats the blocked form's many small ops (measured 79k
+            # vs 68k fps on the capacity-64 batched headline, N=201)
+            g_mat = jnp.eye(n, dtype=dt) * keep[:, None]
+            g_mat = g_mat.at[ce:, :ce].set(g_cam.reshape(c * le, ce))
+            cov = (g_mat @ p.astype(dt) @ g_mat.T).astype(cdt)
+        else:
+            # large-state: the dense form is two N³ GEMMs (14.7
+            # GFLOP/frame at the 512-survey's N=1545) that the
+            # vmap'd lax.cond below executes EVERY frame; rank-ce
+            # blocked products are ~100x fewer FLOPs and leave the
+            # step bandwidth-bound (measured 417 -> 559 fps batch 8)
+            mpm = p * (keep[:, None] * keep[None, :]).astype(cdt)
+            # rank-ce GEMMs store at the covariance dtype
+            epm = ((g_full @ p[:ce, :].astype(dt))
+                   * keep[None, :]).astype(cdt)     # (E P) M
+            # M P Eᵀ as its own rank-ce GEMM instead of epm.T: P is
+            # symmetric, so the two accumulate the SAME products in
+            # the same order (bit-equal transpose) — and an N²
+            # transpose READ is a relayout pass this function exists
+            # to avoid
+            epmt = ((keep[:, None] * p[:, :ce].astype(dt))
+                    @ g_full.T).astype(cdt)
+            epe = (g_full @ (p[:ce, :ce].astype(dt)
+                             @ g_full.T)).astype(cdt)  # E P Eᵀ
+            cov = mpm + epm + epmt + epe
         b = jnp.where(new[:, None, None], j_z_init, 0.0)
         brb = jnp.einsum("jlz,jmz,jz->jlm", b, b, r_init)
-        # block-diagonal scatter of brb (dense einsum against identity)
+        # block-diagonal B R Bᵀ via the identity einsum: it looks like
+        # a dense (C·le)² materialization but XLA fuses the broadcast-
+        # multiply straight into the .add consumer — one elementwise
+        # pass. (A strided .at[jj,:,jj,:] diagonal-block add lowers to
+        # a real scatter and measured 15% SLOWER on the 512-survey.)
         eye_c = jnp.eye(c, dtype=dt)
         brb_full = jnp.einsum("jc,jlm->jlcm", eye_c, brb).reshape(
             c * le, c * le)
-        return cov.at[ce:, ce:].add(brb_full)
+        return cov.at[ce:, ce:].add(brb_full.astype(cdt))
 
     return jax.lax.cond(new.any(), augment, lambda: state.cov)
 
@@ -486,8 +526,9 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
         if cfg.vel_decay < 1.0:
             rho = jnp.asarray(cfg.vel_decay, dt)
             state = state._replace(vel=rho * state.vel)
-            cov0 = cov0.at[_DV, :].multiply(rho)
-            cov0 = cov0.at[:, _DV].multiply(rho)
+            rho_c = rho.astype(cov0.dtype)  # bf16-cov storage mode
+            cov0 = cov0.at[_DV, :].multiply(rho_c)
+            cov0 = cov0.at[:, _DV].multiply(rho_c)
         state = state._replace(cam_t=state.cam_t + state.vel)
         cov0 = cov0.at[_DT, :].add(cov0[_DV, :])
         cov0 = cov0.at[:, _DT].add(cov0[:, _DV])
@@ -548,7 +589,8 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
     lm_active_dims = jnp.repeat(active, le)
     q_diag = q_diag.at[ce:].set(
         jnp.where(lm_active_dims, cfg.q_uncertainty_lm, 0.0))
-    cov = cov + jnp.diag(q_diag)
+    cdt = cfg.cov_dtype or dt  # covariance STORAGE dtype (see config)
+    cov = (cov + jnp.diag(q_diag)).astype(cdt)
 
     # --- update ---
     if cfg.with_rotations:
@@ -631,6 +673,7 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (on_tpu and cfg.joseph_form) \
         if cfg.pallas_update is None else cfg.pallas_update
+    use_pallas = use_pallas and cdt == dt  # kernel is f32-only
     if use_pallas and cfg.joseph_form:
         # fused VMEM-resident kernel: gain + innovation + Joseph update
         from aruco_slam_tpu.filters import pallas_mekf
@@ -713,13 +756,16 @@ def _mekf_step_impl(cfg: MekfConfig, state: MekfState,
         # approximate one). Forming I−KH densely costs two N³ GEMMs
         # per frame (N = 201 at capacity 64); this form costs three
         # rank-M products (M = max_obs·md ≈ 48) — ~3.7x fewer FLOPs —
-        # and P is symmetrized every step as before.
-        a = gain @ ph_t.T                       # K (HP) : (N, N)
+        # and P is symmetrized every step as before. The big (N, N)
+        # GEMM outputs store at the covariance dtype (the cast fuses
+        # into the GEMM epilogue; a no-op at the f32 default).
+        a = (gain @ ph_t.T).astype(cdt)         # K (HP) : (N, N)
         if cfg.joseph_form:
-            cov = cov - a - a.T + (gain @ s) @ gain.T
+            ksk = ((gain @ s) @ gain.T).astype(cdt)
+            cov = cov - a - a.T + ksk
         else:
             cov = cov - a  # the reference's (I−KH)P (extended_kalman_filter.py:156)
-        cov = 0.5 * (cov + cov.T)
+        cov = (0.5 * (cov + cov.T)).astype(cdt)
 
     if cfg.divergence_guard:
         cov = jnp.where(jnp.isfinite(cov).all(), cov, cov_pred)

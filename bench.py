@@ -314,13 +314,22 @@ def _large_map_fields() -> dict:
 
     from aruco_slam_tpu.bench import large_map
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        large_map.main(["--reps", "2"])
-    out = json.loads(buf.getvalue().strip().splitlines()[-1])
-    return {"large_map_fps": out["value"],
-            "large_map_mfu_pct": out.get("mfu_pct"),
-            "ba_lm_iters_per_s": round(40.0 / out["offline_ba_s"], 2)}
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            large_map.main(["--reps", "2"] + extra)
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    out = run([])
+    row = {"large_map_fps": out["value"],
+           "large_map_ate_m": out["ate_m"],
+           "large_map_mfu_pct": out.get("mfu_pct"),
+           "ba_lm_iters_per_s": round(40.0 / out["offline_ba_s"], 2)}
+    # bf16-covariance serving mode rides along with its honest ATE
+    b16 = run(["--cov-dtype", "bf16"])
+    row["large_map_bf16_fps"] = b16["value"]
+    row["large_map_bf16_ate_m"] = b16["ate_m"]
+    return row
 
 
 if __name__ == "__main__":

@@ -474,10 +474,13 @@ def test_blocked_augmentation_matches_dense_gpg():
     import jax
     from aruco_slam_tpu.filters import mekf as m
 
-    for with_rot, seed in ((False, 0), (True, 1)):
-        cfg = MekfConfig(capacity=6, with_rotations=with_rot,
+    # capacity 6 exercises the small-state DENSE branch, 256 the
+    # large-state BLOCKED branch (the form switches on err_dim)
+    for with_rot, seed, cap in ((False, 0, 6), (True, 1, 6),
+                                (False, 2, 256)):
+        cfg = MekfConfig(capacity=cap, with_rotations=with_rot,
                          motion_model="cv")
-        n, ce, le, c = cfg.err_dim, cfg.cam_edims, cfg.lm_edims, 6
+        n, ce, le, c = cfg.err_dim, cfg.cam_edims, cfg.lm_edims, cap
         rng = np.random.default_rng(seed)
         a = rng.normal(size=(n, n))
         cov = jnp.asarray(a @ a.T * 0.01 + np.eye(n) * 0.1, cfg.dtype)
@@ -487,7 +490,7 @@ def test_blocked_augmentation_matches_dense_gpg():
             cam_q=jnp.asarray([0.9, 0.1, -0.2, 0.4], cfg.dtype))
         state = state._replace(
             cam_q=state.cam_q / jnp.linalg.norm(state.cam_q))
-        new = jnp.asarray([True, False, True, False, False, True])
+        new = jnp.asarray(([True, False] * ((cap + 1) // 2))[:cap])
         new_dims = jnp.concatenate(
             [jnp.zeros(ce, bool), jnp.repeat(new, le)])
         t_cl = jnp.asarray(rng.normal(size=(c, 3)) + [0, 0, 3],
@@ -542,6 +545,28 @@ def test_blocked_augmentation_matches_dense_gpg():
             c * le, c * le)
         ref = ref.at[ce:, ce:].add(brb_full)
 
+        # blocked vs dense differ only by f32 reassociation; the
+        # longer dot products at capacity 256 accumulate ~3e-5
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=1e-5,
+                                   atol=1e-5 if cap < 100 else 1e-4,
                                    err_msg=f"with_rotations={with_rot}")
+
+
+def test_bf16_covariance_storage_mode():
+    """cov_dtype=bf16 (the bandwidth-bound survey serving mode,
+    bench/large_map.py --cov-dtype bf16) must track close to the f32
+    filter: the gain chain stays f32, so bf16 storage rounds like a
+    little extra process noise — bounded ATE, no blow-up."""
+    import jax.numpy as jnp
+
+    cfg32 = MekfConfig(capacity=64, pallas_update=False, s_solver="ns",
+                       motion_model="cv")
+    cfg16 = cfg32._replace(cov_dtype=jnp.bfloat16)
+    _, traj, seq = make_obs_seq(cfg32, noise_t=0.005)
+    _, tr32 = mekf_scan(cfg32, init_state(cfg32), seq)
+    st16, tr16 = mekf_scan(cfg16, init_state(cfg16), seq)
+    assert st16.cov.dtype == jnp.bfloat16
+    e32 = ate.ate_rmse(np.asarray(tr32)[:, :3], traj.cam_t)
+    e16 = ate.ate_rmse(np.asarray(tr16)[:, :3], traj.cam_t)
+    assert np.isfinite(np.asarray(tr16)).all()
+    assert e16 < 2.5 * e32 + 0.02, (e16, e32)
