@@ -238,6 +238,59 @@ def _observations_from_frames_sharded(frame_iter, cam,
             np.asarray(ids_seq) if cfg.slot_max_age else None)
 
 
+def epoch_remap(t_cl, q_cl, mask, reset, ids_seq):
+    """Split recycled slots into per-epoch landmark columns.
+
+    The batch graph keys landmarks by COLUMN; LRU recycling
+    (--slot-max-age) makes one detector slot host several physical
+    markers over the run, so feeding slot columns straight into the
+    graph would merge two markers into one landmark and corrupt the
+    solve. Offline has the whole sequence up front, so the fix is a
+    host-side relayout: each (slot, epoch) pair — epoch = number of
+    resets of that slot up to the frame — gets its OWN column. The
+    MEKF handles the same situation online by re-initializing through
+    consistent augmentation instead (filters/mekf.py reset handling);
+    the reference never faces this because its landmark registration
+    is unbounded (reference filters/factor_graph.py:226-264).
+
+    Returns (t_cl, q_cl, mask, col_ids) with L = #observed
+    (slot, epoch) pairs columns; ``col_ids`` maps column -> true
+    marker id (from ``ids_seq``, the per-frame table snapshots —
+    the final table only remembers each slot's LAST tenant)."""
+    t, c = mask.shape
+    epoch = np.cumsum(np.asarray(reset, np.int64), axis=0)  # (T, C)
+    key = epoch * c + np.arange(c)[None, :]
+    used = np.unique(key[mask])
+    col = np.searchsorted(used, key)                        # (T, C)
+    l2 = len(used)
+    rows = np.broadcast_to(np.arange(t)[:, None], (t, c))
+    t_cl2 = np.zeros((t, l2) + t_cl.shape[2:], t_cl.dtype)
+    q_cl2 = np.zeros((t, l2) + q_cl.shape[2:], q_cl.dtype)
+    mask2 = np.zeros((t, l2), bool)
+    t_cl2[rows[mask], col[mask]] = t_cl[mask]
+    q_cl2[rows[mask], col[mask]] = q_cl[mask]
+    mask2[rows[mask], col[mask]] = True
+    col_ids = np.full(l2, -1, np.int64)
+    col_ids[col[mask]] = ids_seq[mask]
+    return t_cl2, q_cl2, mask2, col_ids
+
+
+def _resolve_recycling(obs):
+    """Normalize a loader 9-tuple: consume reset/ids_seq by epoch-
+    splitting recycled slots into fresh landmark columns (no-op when
+    nothing recycled). Returns the 7-tuple the solve consumes."""
+    times, t_cl, q_cl, mask, cam, amb, slot_ids, reset, ids_seq = obs
+    if reset is not None and np.asarray(reset).any():
+        n0 = t_cl.shape[1]
+        t_cl, q_cl, mask, slot_ids = epoch_remap(
+            np.asarray(t_cl), np.asarray(q_cl), np.asarray(mask),
+            np.asarray(reset), np.asarray(ids_seq))
+        amb = None  # per-slot layout no longer matches; unused offline
+        print(f"slot recycling: split {n0} detector slots into "
+              f"{t_cl.shape[1]} per-epoch landmark columns")
+    return times, t_cl, q_cl, mask, cam, amb, slot_ids
+
+
 def load_camera(cfg: SlamAppConfig, calib_dir=None):
     """Camera from saved calibration artifacts (the reference's
     camera_matrix.npy + dist_coeffs.npy, reference
@@ -934,6 +987,13 @@ def main(argv=None) -> None:
                 ckpt_path=args.checkpoint, resume=args.resume,
                 slot_ids=slot_ids, reset=reset)
         else:
+            # the factor graph keys landmarks by COLUMN and has no
+            # reset concept — epoch-split recycled slots into fresh
+            # columns (the MEKF path above consumes `reset` natively
+            # via re-initializing augmentation instead)
+            times, t_cl, q_cl, mask, cam, amb, slot_ids = \
+                _resolve_recycling((times, t_cl, q_cl, mask, cam, amb,
+                                    slot_ids, reset, _ids))
             cam_traj, active, lm, unc = run_factorgraph(
                 cfg, times, t_cl, q_cl, mask, cam, viewers=viewers,
                 ckpt_every=args.checkpoint_every,

@@ -243,3 +243,26 @@ def test_run_slam_slot_recycling_cli(tmp_path):
     assert set(ids) & set(range(20, 25)), \
         "recycled slots must map the second cohort"
     assert np.isfinite(pos).all()
+
+
+def test_run_slam_factorgraph_epoch_split_recycling(tmp_path):
+    """Online factor graph + slot recycling: the graph keys landmarks
+    by column and has no reset concept, so run_slam epoch-splits
+    recycled slots into fresh columns exactly like run_offline (the
+    same two-markers-one-landmark merge trap — VERDICT r4 #4 applied
+    to the ONLINE graph backend)."""
+    from aruco_slam_tpu.apps import run_slam
+    from aruco_slam_tpu.io import load_map
+
+    path = _two_cohort_sequence(tmp_path)
+    mp = tmp_path / "map_fg.txt"
+    run_slam.main(["--input", str(path), "--capacity", "5",
+                   "--slot-max-age", "1", "--filter", "factorgraph",
+                   "--trajectory", str(tmp_path / "t_fg.txt"),
+                   "--map", str(mp)])
+    ids, pos, _ = load_map(mp)
+    ids = set(int(i) for i in ids)
+    # both cohorts present as distinct landmarks under true ids
+    assert set(range(5)) <= ids, ids
+    assert len(ids & set(range(20, 25))) >= 3, ids
+    assert np.isfinite(pos).all()
