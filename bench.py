@@ -324,7 +324,8 @@ def _large_map_fields() -> dict:
     row = {"large_map_fps": out["value"],
            "large_map_ate_m": out["ate_m"],
            "large_map_mfu_pct": out.get("mfu_pct"),
-           "ba_lm_iters_per_s": round(40.0 / out["offline_ba_s"], 2)}
+           "ba_lm_iters_per_s": round(40.0 / out["offline_ba_s"], 2),
+           "ba_mfu_pct": out.get("ba_mfu_pct")}
     # bf16-covariance serving mode rides along with its honest ATE
     b16 = run(["--cov-dtype", "bf16"])
     row["large_map_bf16_fps"] = b16["value"]
