@@ -66,9 +66,18 @@ class DetectorConfig(NamedTuple):
     thresh_c: float = 7.0         # threshold offset (uint8 counts)
     min_area: int = 16            # component pixels at low res
     max_area_frac: float = 0.05
-    prop_iters: int = 32          # total 3x3 min-flood rounds, split
+    prop_iters: int = 16          # total 3x3 min-flood rounds, split
                                   # across the scan rounds (see
-                                  # _connected_components)
+                                  # _connected_components). 16 is the
+                                  # measured convergence floor: the
+                                  # scipy.ndimage oracle sweep labels
+                                  # every rotated marker shape (8 px to
+                                  # full frame, holes included) with a
+                                  # single label at (16, 4) on both the
+                                  # coarse and fine grids, while 8
+                                  # splits the 8/16-px shapes — the
+                                  # tiny rotated markers need stencil
+                                  # transport the scans cannot supply
     scan_rounds: int = 4          # segmented row/col min-scan
                                   # alternations; each propagates
                                   # labels across whole dark runs, so
@@ -669,8 +678,11 @@ def _detect_candidates(image: jnp.ndarray, cfg: DetectorConfig,
         fine = ds < base_ds
         fine_rounds = (cfg.scan_rounds if cfg.fine_scan_rounds is None
                        else cfg.fine_scan_rounds)
+        # fine passes historically ran at HALF the stencil budget (4x
+        # the pixels); never below the 16-round convergence floor
+        fine_iters = max(16, cfg.prop_iters // 2)
         labels = _connected_components(
-            fg, cfg.prop_iters // 2 if fine else cfg.prop_iters,
+            fg, fine_iters if fine else cfg.prop_iters,
             scan_rounds=fine_rounds if fine else cfg.scan_rounds,
             pallas_mode=pm)
 

@@ -333,7 +333,7 @@ def test_pallas_detect_matches_default(rendered):
      # 131-px marker into 4+ labels) — marker-scale shapes must
      # converge at the halved budget too, so future tuning can't
      # silently regress fine-pass separation
-     (CFG.prop_iters // 2, CFG.scan_rounds)])
+     (max(16, CFG.prop_iters // 2), CFG.scan_rounds)])
 def test_flood_converges_on_marker_shapes(prop_iters, scan_rounds):
     """The stencil+segmented-scan flood must fully label rotated
     marker-shaped blobs (border ring + payload holes) at every size up
