@@ -955,6 +955,11 @@ def main(argv=None) -> None:
     if "," in args.input:
         # multi-camera serving: --input a.npz,b.npz,... fans the
         # streams through the batched pixels->pose pipeline
+        if cfg.slot_max_age:
+            p.error("--slot-max-age is not supported by multi-stream "
+                    "serving yet (the fleet detector threads per-"
+                    "stream id->slot tables without the LRU carry); "
+                    "run corridor-scale streams individually")
         if cfg.filter == "factorgraph":
             p.error("multi-stream serving runs the MEKF backends; for "
                     "batch factor-graph fleets use run_offline --fleet")

@@ -266,3 +266,16 @@ def test_run_slam_factorgraph_epoch_split_recycling(tmp_path):
     assert set(range(5)) <= ids, ids
     assert len(ids & set(range(20, 25))) >= 3, ids
     assert np.isfinite(pos).all()
+
+
+def test_multi_stream_slot_max_age_refuses(tmp_path):
+    """--slot-max-age with multi-stream serving is not wired (the
+    fleet detector has no LRU carry) — it must refuse loudly, never
+    silently ignore recycling."""
+    import pytest
+    from aruco_slam_tpu.apps import run_slam
+
+    with pytest.raises(SystemExit):
+        run_slam.main(["--input", "a.npz,b.npz", "--slot-max-age", "9",
+                       "--trajectory", str(tmp_path / "t.txt"),
+                       "--map", str(tmp_path / "m.txt")])
