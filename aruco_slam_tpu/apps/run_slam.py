@@ -245,9 +245,11 @@ def epoch_remap(t_cl, q_cl, mask, reset, ids_seq):
     (--slot-max-age) makes one detector slot host several physical
     markers over the run, so feeding slot columns straight into the
     graph would merge two markers into one landmark and corrupt the
-    solve. Offline has the whole sequence up front, so the fix is a
-    host-side relayout: each (slot, epoch) pair — epoch = number of
-    resets of that slot up to the frame — gets its OWN column. The
+    solve. Both graph drivers (run_offline's batch solve and
+    run_slam's online windowed graph) load the whole sequence up
+    front, so the fix is a host-side relayout: each (slot, epoch)
+    pair — epoch = number of resets of that slot up to the frame —
+    gets its OWN column. The
     MEKF handles the same situation online by re-initializing through
     consistent augmentation instead (filters/mekf.py reset handling);
     the reference never faces this because its landmark registration
